@@ -49,10 +49,10 @@ def test_gilbert3d_steps_are_local_moves(t, h, w):
 
 def test_gilbert2d_golden_4x4():
     """Hand-checked 4x4 gilbert curve (equals the classic Hilbert curve)."""
-    coords = [tuple(c) for c in gilbert2d(4, 4)]
-    assert coords == [(0, 0), (0, 1), (1, 1), (1, 0), (2, 0), (3, 0), (3, 1),
-                      (2, 1), (2, 2), (3, 2), (3, 3), (2, 3), (1, 3), (1, 2),
-                      (0, 2), (0, 3)]
+    coords = [tuple(int(v) for v in c) for c in gilbert2d(4, 4)]
+    assert coords == [(0, 0), (1, 0), (1, 1), (0, 1), (0, 2), (0, 3), (1, 3),
+                      (1, 2), (2, 2), (2, 3), (3, 3), (3, 2), (3, 1), (2, 1),
+                      (2, 0), (3, 0)]
 
 
 def test_gilbert3d_golden_2x2x2():
