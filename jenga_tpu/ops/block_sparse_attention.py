@@ -1,0 +1,222 @@
+"""Pallas TPU block-sparse flash attention with dynamic per-row block lists.
+
+The flagship kernel of the framework: streaming-softmax attention where each
+128-row query block attends only to the key/value blocks named in a per-
+(batch·head, query-block) index list produced by the carving planner. Key
+design points, TPU-first rather than a port of the reference Triton kernel
+(`/root/reference/hyvideo/modules/attention_block_triton_diffres.py:38-136`):
+
+  * **Index lists, not one-hot masks.** The Triton kernel iterates all key
+    blocks and branches on a one-hot row. On TPU, branching per block would
+    still serialize the grid, so the kernel runs a *dynamic-length*
+    ``fori_loop`` over exactly ``counts[bh, qb]`` selected blocks (the
+    reference's own Wan variant, `/root/reference/wan/modules/
+    attention_block_triton_diffres.py:39-144`, validates the encoding).
+  * **KV stays in HBM** (115k-token sequences do not fit VMEM); selected
+    blocks are gathered with double-buffered async DMA, the same pattern as
+    JAX's paged-attention kernel. The per-row index list is DMA'd to SMEM
+    first and drives the gather.
+  * **exp2 streaming softmax**: logits are scaled by ``sm_scale*log2(e)``
+    once in the query block, and the text amplitude bias is added directly
+    to the base-2 logits of text key blocks for video query rows, matching
+    the reference numerics exactly.
+  * **One launch for everything**: text (condition) query rows simply carry
+    a full index list, which turns the same kernel into dense flash
+    attention for those rows — no separate dense path like the reference's
+    ``flash_attn_func`` call for text queries.
+
+Shapes are static per ProRes stage; ``seqlen`` and ``text_amp`` are
+compile-time constants folded into each stage's specialization.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LOG2E = 1.4426950408889634
+DEFAULT_BLOCK = 128
+
+__all__ = ["block_sparse_attention"]
+
+
+def _kernel(
+    q_ref,          # VMEM (1, block_m, d)
+    k_hbm,          # ANY  (bh, skv, d)
+    v_hbm,          # ANY  (bh, skv, d)
+    idx_hbm,        # ANY  (bh, nqb, nkb) int32
+    cnt_hbm,        # ANY  (bh, nqb) int32
+    o_ref,          # VMEM (1, block_m, d)
+    idx_smem,       # SMEM (nkb,) int32
+    cnt_smem,       # SMEM (1,) int32
+    k_buf,          # VMEM (2, block_n, d) kv dtype
+    v_buf,          # VMEM (2, block_n, d)
+    list_sem,       # DMA sem (2,) for idx/cnt
+    k_sems,         # DMA sems (2,)
+    v_sems,         # DMA sems (2,)
+    *,
+    sm_scale: float,
+    text_amp: float,
+    text_start_block: int,
+    seqlen: int,
+    block_m: int,
+    block_n: int,
+):
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    d = q_ref.shape[-1]
+
+    # Fetch this row's block list and count.
+    idx_dma = pltpu.make_async_copy(idx_hbm.at[bh, qi], idx_smem, list_sem.at[0])
+    cnt_dma = pltpu.make_async_copy(cnt_hbm.at[bh, pl.ds(qi, 1)], cnt_smem,
+                                    list_sem.at[1])
+    idx_dma.start()
+    cnt_dma.start()
+    idx_dma.wait()
+    cnt_dma.wait()
+    n = cnt_smem[0]
+
+    def kv_copy(hbm, buf, sems, j, slot):
+        blk = idx_smem[j]
+        return pltpu.make_async_copy(
+            hbm.at[bh, pl.ds(blk * block_n, block_n)],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(n > 0)
+    def _():
+        kv_copy(k_hbm, k_buf, k_sems, 0, 0).start()
+        kv_copy(v_hbm, v_buf, v_sems, 0, 0).start()
+
+    q = q_ref[0].astype(jnp.float32) * (sm_scale * _LOG2E)
+    q = q.astype(k_buf.dtype)
+
+    neg_inf = jnp.float32(-1e30)
+    m0 = jnp.full((block_m, 128), neg_inf, jnp.float32)
+    l0 = jnp.zeros((block_m, 128), jnp.float32)
+    acc0 = jnp.zeros((block_m, d), jnp.float32)
+
+    def body(j, carry):
+        m_prev, l_prev, acc = carry
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n)
+        def _():
+            kv_copy(k_hbm, k_buf, k_sems, j + 1, 1 - slot).start()
+            kv_copy(v_hbm, v_buf, v_sems, j + 1, 1 - slot).start()
+
+        kv_copy(k_hbm, k_buf, k_sems, j, slot).wait()
+        kv_copy(v_hbm, v_buf, v_sems, j, slot).wait()
+
+        blk = idx_smem[j]
+        kb = k_buf[slot]
+        qk = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (block_m, block_n)
+
+        if text_amp != 0.0:
+            amp_on = jnp.logical_and(qi < text_start_block,
+                                     blk >= text_start_block)
+            qk = qk + jnp.where(amp_on, jnp.float32(text_amp), 0.0)
+
+        # Mask keys past the real sequence length (only the last key block
+        # can be partial; cheap runtime check per block).
+        if seqlen % block_n != 0:
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
+            valid = blk * block_n + col < seqlen
+            qk = jnp.where(valid, qk, neg_inf)
+
+        m_cur = jnp.max(qk, axis=-1, keepdims=True)           # (bm, 1)
+        m_next = jnp.maximum(m_prev, m_cur)                    # (bm, 128)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(qk - m_next[:, :1])                       # (bm, bn)
+        l_next = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        vb = v_buf[slot]
+        acc = acc * alpha[:, :1] + jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_next, l_next, acc
+
+    m, l, acc = jax.lax.fori_loop(0, n, body, (m0, l0, acc0))
+    l_safe = jnp.where(l[:, :1] == 0.0, 1.0, l[:, :1])
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "text_amp", "text_start_block", "seqlen",
+                     "block_n", "interpret"))
+def block_sparse_attention(
+    q: jax.Array,            # [B, H, S, D], S a multiple of 128
+    k: jax.Array,            # [B, H, Skv, D]
+    v: jax.Array,
+    indices: jax.Array,      # [B, H, S//bm, Skv//bn] int32 block lists
+    counts: jax.Array,       # [B, H, S//bm] int32
+    *,
+    sm_scale: float | None = None,
+    text_amp: float = 0.0,
+    text_start_block: int = 0,
+    seqlen: int | None = None,
+    block_n: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+) -> jax.Array:
+    """Block-sparse flash attention. Returns [B, H, S, D] in q.dtype."""
+    b, h, s, d = q.shape
+    skv = k.shape[2]
+    block_m = DEFAULT_BLOCK
+    if s % block_m or skv % block_n:
+        raise ValueError(f"sequence lengths must be block multiples, got "
+                         f"{s=} {skv=}")
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    if seqlen is None:
+        seqlen = skv
+    nqb, nkb = s // block_m, skv // block_n
+
+    bh = b * h
+    qf = q.reshape(bh, s, d)
+    kf = k.reshape(bh, skv, d)
+    vf = v.reshape(bh, skv, d)
+    idx = indices.reshape(bh, nqb, nkb)
+    cnt = counts.reshape(bh, nqb)
+
+    kernel = functools.partial(
+        _kernel,
+        sm_scale=float(sm_scale), text_amp=float(text_amp),
+        text_start_block=int(text_start_block), seqlen=int(seqlen),
+        block_m=block_m, block_n=block_n)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+        grid=(bh, nqb),
+        in_specs=[
+            pl.BlockSpec((1, block_m, d), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, block_m, d), lambda bi, qi: (bi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((nkb,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((2, block_n, d), k.dtype),
+            pltpu.VMEM((2, block_n, d), v.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, idx, cnt)
+    return out.reshape(b, h, s, d)

@@ -1,0 +1,141 @@
+"""Attention carving planner: data-dependent block selection, fully in jnp.
+
+Per attention layer and denoise step, this module estimates which 128-token
+key blocks each 128-token query block should attend to:
+
+  1. mean-pool Q and K per block,
+  2. pooled-QK block-score matrix (one batched matmul on the MXU),
+  3. softmax over *video* key blocks, sort descending, cumulative-probability
+     top-p with a top-k floor,
+  4. OR in the precomputed 26-neighborhood block adjacency,
+  5. force text (condition) blocks always-on, and optionally make the
+     first-frame blocks mutually visible (Wan),
+  6. emit both the one-hot mask and a TPU-friendly padded index-list
+     encoding (selected block ids first, ascending) that the Pallas
+     block-sparse kernel consumes via scalar DMA.
+
+Semantics mirror the reference mask builder
+(`/root/reference/hyvideo/modules/attention_block_triton_diffres.py:198-295`
+and the Wan first-frame variant
+`/root/reference/wan/modules/attention_block_triton_diffres.py:306-412`) but
+are expressed as pure shape-static jnp so the whole planner fuses into the
+surrounding jit program — the selection is data-dependent in *values* only,
+never in shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["build_block_mask", "mask_to_block_lists", "plan_block_sparsity"]
+
+
+def build_block_mask(
+    q: jax.Array,               # [B, H, Sq, D] video queries (Sq = nqb*block)
+    k: jax.Array,               # [B, H, Skv, D] full padded keys
+    *,
+    top_k: int,
+    p_remain: float,
+    text_start_block: int,
+    text_blocks: int,
+    block_neighbors: jax.Array | None,  # [nb, nb] bool (video blocks)
+    block_size: int = 128,
+    first_frame_blocks: int = 0,
+) -> jax.Array:
+    """One-hot selection mask ``[B, H, num_q_blocks, num_kv_blocks]`` (bool).
+
+    ``top_k`` is the selection floor (the reference's ``select_block_num``,
+    derived from the drop rate); ``p_remain`` the cumulative-probability
+    threshold. Key blocks beyond ``text_start_block`` are condition/text
+    blocks: excluded from the probability competition and forced on at the
+    end.
+    """
+    b, h, sq, d = q.shape
+    nqb = sq // block_size
+    nkb = k.shape[2] // block_size
+
+    q_pool = q.reshape(b, h, nqb, block_size, d).mean(axis=3)
+    k_pool = k.reshape(b, h, nkb, block_size, d).mean(axis=3)
+
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q_pool, k_pool,
+        preferred_element_type=jnp.float32) * (d ** -0.5)
+
+    # Top-p over video key blocks only.
+    video_scores = scores[..., :text_start_block]
+    probs = jax.nn.softmax(video_scores, axis=-1)
+    sorted_probs = jnp.sort(probs, axis=-1, descending=True)
+    cumsum = jnp.cumsum(sorted_probs, axis=-1)
+    needed = jnp.sum(cumsum <= p_remain, axis=-1) + 1
+    needed = jnp.maximum(needed, top_k)
+
+    # rank[..., j] = position of video block j in the descending-prob order;
+    # selected iff rank < needed.
+    order = jnp.argsort(-probs, axis=-1, stable=True)
+    rank = jnp.argsort(order, axis=-1, stable=True)
+    video_mask = rank < needed[..., None]
+
+    if block_neighbors is not None:
+        neighbor = jnp.asarray(
+            block_neighbors)[:nqb, :text_start_block].astype(bool)
+        video_mask = video_mask | neighbor[None, None]
+
+    mask = jnp.zeros((b, h, nqb, nkb), dtype=bool)
+    mask = mask.at[..., :text_start_block].set(video_mask)
+
+    if first_frame_blocks > 0:
+        # First-frame query blocks always see every first-frame key block
+        # (fixes the Wan first-frame artifact, reference J17).
+        mask = mask.at[:, :, :first_frame_blocks, :first_frame_blocks].set(True)
+
+    if text_blocks > 0:
+        hi = min(text_start_block + text_blocks, nkb)
+        mask = mask.at[..., text_start_block:hi].set(True)
+
+    return mask
+
+
+def mask_to_block_lists(mask: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Convert a one-hot mask to (indices, counts) padded index lists.
+
+    ``indices[b, h, q, :counts[b, h, q]]`` are the selected key-block ids in
+    ascending order; the tail is padded with arbitrary valid ids (never read
+    by the kernel). Index lists are the TPU-friendly encoding: the kernel
+    runs a dynamic-length DMA loop over exactly ``counts`` blocks instead of
+    branching over every block like the reference one-hot Triton kernel.
+    """
+    # stable argsort of (not selected): False (selected) sorts first and
+    # stability keeps ascending block-id order within each group.
+    indices = jnp.argsort(~mask, axis=-1, stable=True).astype(jnp.int32)
+    counts = jnp.sum(mask, axis=-1, dtype=jnp.int32)
+    return indices, counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("top_k", "p_remain", "text_start_block", "text_blocks",
+                     "block_size", "first_frame_blocks"))
+def plan_block_sparsity(
+    q: jax.Array,
+    k: jax.Array,
+    block_neighbors: jax.Array | None,
+    *,
+    top_k: int,
+    p_remain: float,
+    text_start_block: int,
+    text_blocks: int,
+    block_size: int = 128,
+    first_frame_blocks: int = 0,
+):
+    """Fused mask build + index-list conversion. Returns (mask, indices, counts)."""
+    mask = build_block_mask(
+        q, k,
+        top_k=top_k, p_remain=p_remain,
+        text_start_block=text_start_block, text_blocks=text_blocks,
+        block_neighbors=block_neighbors, block_size=block_size,
+        first_frame_blocks=first_frame_blocks)
+    indices, counts = mask_to_block_lists(mask)
+    return mask, indices, counts

@@ -1,0 +1,180 @@
+"""Carving planner properties + Pallas kernel vs dense-masked reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jenga_tpu.curves.blocks import build_curve_plan
+from jenga_tpu.ops.attention_ref import block_sparse_attention_reference
+from jenga_tpu.ops.block_sparse_attention import block_sparse_attention
+from jenga_tpu.sparse.planner import (
+    build_block_mask,
+    mask_to_block_lists,
+    plan_block_sparsity,
+)
+
+BM = 128
+
+
+def _qkv(key, b, h, s, d, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, s, d), dtype)
+    k = jax.random.normal(kk, (b, h, s, d), dtype)
+    v = jax.random.normal(kv, (b, h, s, d), dtype)
+    return q, k, v
+
+
+class TestPlanner:
+    def setup_method(self, method):
+        self.key = jax.random.PRNGKey(0)
+
+    def test_mask_shape_and_text_forcing(self):
+        b, h, s, d = 1, 2, 8 * BM, 64
+        q, k, _ = _qkv(self.key, b, h, s, d)
+        tsb, tb = 6, 2
+        mask = build_block_mask(q[:, :, :tsb * BM], k, top_k=1, p_remain=0.3,
+                                text_start_block=tsb, text_blocks=tb,
+                                block_neighbors=None)
+        assert mask.shape == (b, h, tsb, 8)
+        assert bool(mask[..., tsb:tsb + tb].all())
+
+    def test_top_k_floor(self):
+        b, h, s, d = 1, 1, 8 * BM, 64
+        q, k, _ = _qkv(self.key, b, h, s, d)
+        tsb = 6
+        mask = build_block_mask(q[:, :, :tsb * BM], k, top_k=4, p_remain=1e-6,
+                                text_start_block=tsb, text_blocks=2,
+                                block_neighbors=None)
+        video = mask[..., :tsb]
+        assert int(video.sum(-1).min()) >= 4
+
+    def test_top_p_monotone(self):
+        """Higher p_remain never selects fewer blocks."""
+        b, h, s, d = 1, 2, 16 * BM, 64
+        q, k, _ = _qkv(self.key, b, h, s, d)
+        tsb = 14
+        masks = [
+            build_block_mask(q[:, :, :tsb * BM], k, top_k=1, p_remain=p,
+                             text_start_block=tsb, text_blocks=2,
+                             block_neighbors=None)[..., :tsb]
+            for p in (0.1, 0.5, 0.9)
+        ]
+        c = [int(m.sum()) for m in masks]
+        assert c[0] <= c[1] <= c[2]
+
+    def test_adjacency_is_superset(self):
+        plan = build_curve_plan((4, 16, 16), "gilbert", BM)
+        nqb = plan.num_blocks
+        s = nqb * BM
+        q, k, _ = _qkv(self.key, 1, 1, s + 2 * BM, 64)
+        mask = build_block_mask(q[:, :, :s], k, top_k=1, p_remain=0.01,
+                                text_start_block=nqb, text_blocks=2,
+                                block_neighbors=jnp.asarray(plan.block_neighbors))
+        video = np.asarray(mask[0, 0, :, :nqb])
+        assert (video | ~plan.block_neighbors).all()
+
+    def test_first_frame_forcing(self):
+        b, h = 1, 1
+        tsb, ffb = 8, 2
+        s = (tsb + 2) * BM
+        q, k, _ = _qkv(self.key, b, h, s, 64)
+        mask = build_block_mask(q[:, :, :tsb * BM], k, top_k=1, p_remain=0.05,
+                                text_start_block=tsb, text_blocks=2,
+                                block_neighbors=None, first_frame_blocks=ffb)
+        assert bool(mask[:, :, :ffb, :ffb].all())
+
+    def test_mask_to_block_lists_roundtrip(self):
+        mask = jax.random.bernoulli(self.key, 0.3, (2, 3, 5, 7))
+        indices, counts = mask_to_block_lists(mask)
+        mask_np = np.asarray(mask)
+        idx_np, cnt_np = np.asarray(indices), np.asarray(counts)
+        assert (cnt_np == mask_np.sum(-1)).all()
+        for b in range(2):
+            for h in range(3):
+                for qb in range(5):
+                    n = cnt_np[b, h, qb]
+                    sel = idx_np[b, h, qb, :n]
+                    assert sorted(sel.tolist()) == sel.tolist()
+                    assert set(sel.tolist()) == set(
+                        np.nonzero(mask_np[b, h, qb])[0].tolist())
+
+
+class TestKernelVsReference:
+    def setup_method(self, method):
+        self.key = jax.random.PRNGKey(1)
+
+    def _run(self, b, h, nqb, d, dtype, text_amp=0.0, tsb=None, seqlen=None,
+             density=0.5):
+        s = nqb * BM
+        q, k, v = _qkv(self.key, b, h, s, d, dtype)
+        mask = jax.random.bernoulli(
+            jax.random.fold_in(self.key, 7), density, (b, h, nqb, nqb))
+        # guarantee at least one selected block per row
+        mask = mask.at[..., 0].set(True)
+        if tsb is not None:
+            mask = mask.at[..., tsb:].set(True)
+        indices, counts = mask_to_block_lists(mask)
+        kwargs = dict(text_amp=text_amp,
+                      text_start_block=tsb if tsb is not None else nqb,
+                      seqlen=seqlen)
+        out = block_sparse_attention(q, k, v, indices, counts,
+                                     interpret=True, **kwargs)
+        ref = block_sparse_attention_reference(q, k, v, mask, **kwargs)
+        return np.asarray(out), np.asarray(ref)
+
+    def test_f32_matches_reference(self):
+        out, ref = self._run(1, 2, 4, 64, jnp.float32)
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    def test_bf16_matches_reference(self):
+        out, ref = self._run(1, 2, 4, 128, jnp.bfloat16)
+        np.testing.assert_allclose(out.astype(np.float32),
+                                   ref.astype(np.float32), atol=4e-2)
+
+    def test_text_amp_bias(self):
+        out, ref = self._run(1, 1, 4, 64, jnp.float32, text_amp=-1.5, tsb=3)
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+        out0, _ = self._run(1, 1, 4, 64, jnp.float32, text_amp=0.0, tsb=3)
+        assert not np.allclose(out, out0)  # bias actually changes the result
+
+    def test_partial_last_block_seqlen_mask(self):
+        out, ref = self._run(1, 1, 4, 64, jnp.float32, seqlen=4 * BM - 37)
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    def test_full_mask_equals_dense_attention(self):
+        b, h, nqb, d = 1, 2, 3, 64
+        s = nqb * BM
+        q, k, v = _qkv(self.key, b, h, s, d, jnp.float32)
+        mask = jnp.ones((b, h, nqb, nqb), bool)
+        indices, counts = mask_to_block_lists(mask)
+        out = block_sparse_attention(q, k, v, indices, counts, interpret=True)
+        expected = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", q, k) * d ** -0.5, -1)
+        expected = jnp.einsum("bhqk,bhkd->bhqd", expected, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_planner_kernel_end_to_end(self):
+        """Planner-produced lists drive the kernel; video rows differ from
+        dense only where planner dropped blocks."""
+        b, h, d = 1, 2, 64
+        tsb, tb = 6, 2
+        nqb = tsb + tb
+        s = nqb * BM
+        q, k, v = _qkv(self.key, b, h, s, d, jnp.float32)
+        mask, indices, counts = plan_block_sparsity(
+            q[:, :, :tsb * BM], k, None, top_k=2, p_remain=0.4,
+            text_start_block=tsb, text_blocks=tb)
+        # text query rows attend densely
+        full = jnp.ones((b, h, nqb - tsb, nqb), bool)
+        indices_t, counts_t = mask_to_block_lists(full)
+        idx = jnp.concatenate([indices, indices_t], axis=2)
+        cnt = jnp.concatenate([counts, counts_t], axis=2)
+        full_mask = jnp.concatenate([mask, full], axis=2)
+        out = block_sparse_attention(q, k, v, idx, cnt,
+                                     text_start_block=tsb, interpret=True)
+        ref = block_sparse_attention_reference(q, k, v, full_mask,
+                                               text_start_block=tsb)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
