@@ -48,14 +48,12 @@ def _kernel(
     q_ref,          # VMEM (1, block_m, d)
     k_hbm,          # ANY  (bh, skv, d)
     v_hbm,          # ANY  (bh, skv, d)
-    idx_hbm,        # ANY  (bh, nqb, nkb) int32
-    cnt_hbm,        # ANY  (bh, nqb) int32
+    lists_hbm,      # ANY  (bh*nqb*row,) int32 packed [count, ids...] rows
     o_ref,          # VMEM (1, block_m, d)
-    idx_smem,       # SMEM (nkb,) int32
-    cnt_smem,       # SMEM (1,) int32
+    idx_smem,       # SMEM (row,) int32
     k_buf,          # VMEM (2, block_n, d) kv dtype
     v_buf,          # VMEM (2, block_n, d)
-    list_sem,       # DMA sem (2,) for idx/cnt
+    list_sem,       # DMA sem
     k_sems,         # DMA sems (2,)
     v_sems,         # DMA sems (2,)
     *,
@@ -65,23 +63,24 @@ def _kernel(
     seqlen: int,
     block_m: int,
     block_n: int,
+    row_size: int,
 ):
     bh = pl.program_id(0)
     qi = pl.program_id(1)
+    nqb = pl.num_programs(1)
     d = q_ref.shape[-1]
 
-    # Fetch this row's block list and count.
-    idx_dma = pltpu.make_async_copy(idx_hbm.at[bh, qi], idx_smem, list_sem.at[0])
-    cnt_dma = pltpu.make_async_copy(cnt_hbm.at[bh, pl.ds(qi, 1)], cnt_smem,
-                                    list_sem.at[1])
+    # Fetch this row's packed block list (slot 0 = count, slots 1.. = ids);
+    # the row stride is 1024-aligned (the 1-D int32 HBM tile) for the DMA.
+    row_start = (bh * nqb + qi) * row_size
+    idx_dma = pltpu.make_async_copy(
+        lists_hbm.at[pl.ds(row_start, row_size)], idx_smem, list_sem)
     idx_dma.start()
-    cnt_dma.start()
     idx_dma.wait()
-    cnt_dma.wait()
-    n = cnt_smem[0]
+    n = idx_smem[0]
 
     def kv_copy(hbm, buf, sems, j, slot):
-        blk = idx_smem[j]
+        blk = idx_smem[1 + j]
         return pltpu.make_async_copy(
             hbm.at[bh, pl.ds(blk * block_n, block_n)],
             buf.at[slot],
@@ -113,7 +112,7 @@ def _kernel(
         kv_copy(k_hbm, k_buf, k_sems, j, slot).wait()
         kv_copy(v_hbm, v_buf, v_sems, j, slot).wait()
 
-        blk = idx_smem[j]
+        blk = idx_smem[1 + j]
         kb = k_buf[slot]
         qk = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())),
@@ -155,8 +154,7 @@ def block_sparse_attention(
     q: jax.Array,            # [B, H, S, D], S a multiple of 128
     k: jax.Array,            # [B, H, Skv, D]
     v: jax.Array,
-    indices: jax.Array,      # [B, H, S//bm, Skv//bn] int32 block lists
-    counts: jax.Array,       # [B, H, S//bm] int32
+    block_lists: jax.Array,  # [B, H, S//bm, packed_row_size(Skv//bn)] int32
     *,
     sm_scale: float | None = None,
     text_amp: float = 0.0,
@@ -165,7 +163,13 @@ def block_sparse_attention(
     block_n: int = DEFAULT_BLOCK,
     interpret: bool = False,
 ) -> jax.Array:
-    """Block-sparse flash attention. Returns [B, H, S, D] in q.dtype."""
+    """Block-sparse flash attention. Returns [B, H, S, D] in q.dtype.
+
+    ``block_lists`` is the packed layout from
+    ``jenga_tpu.sparse.planner.pack_block_lists``: per (batch, head,
+    query-block) row, slot 0 holds the selected-block count and slots 1..
+    the ascending key-block ids, padded to a 1024-aligned row.
+    """
     b, h, s, d = q.shape
     skv = k.shape[2]
     block_m = DEFAULT_BLOCK
@@ -176,20 +180,22 @@ def block_sparse_attention(
         sm_scale = d ** -0.5
     if seqlen is None:
         seqlen = skv
-    nqb, nkb = s // block_m, skv // block_n
+    nqb = s // block_m
+    row_size = block_lists.shape[-1]
+    if row_size % 1024:
+        raise ValueError(f"packed row size must be 1024-aligned, got {row_size}")
 
     bh = b * h
     qf = q.reshape(bh, s, d)
     kf = k.reshape(bh, skv, d)
     vf = v.reshape(bh, skv, d)
-    idx = indices.reshape(bh, nqb, nkb)
-    cnt = counts.reshape(bh, nqb)
+    lists_flat = block_lists.reshape(bh * nqb * row_size)
 
     kernel = functools.partial(
         _kernel,
         sm_scale=float(sm_scale), text_amp=float(text_amp),
         text_start_block=int(text_start_block), seqlen=int(seqlen),
-        block_m=block_m, block_n=block_n)
+        block_m=block_m, block_n=block_n, row_size=row_size)
 
     out = pl.pallas_call(
         kernel,
@@ -201,16 +207,14 @@ def block_sparse_attention(
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((1, block_m, d), lambda bi, qi: (bi, qi, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.SMEM((nkb,), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((row_size,), jnp.int32),
             pltpu.VMEM((2, block_n, d), k.dtype),
             pltpu.VMEM((2, block_n, d), v.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -218,5 +222,5 @@ def block_sparse_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qf, kf, vf, idx, cnt)
+    )(qf, kf, vf, lists_flat)
     return out.reshape(b, h, s, d)

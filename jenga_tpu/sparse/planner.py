@@ -30,7 +30,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["build_block_mask", "mask_to_block_lists", "plan_block_sparsity"]
+__all__ = ["build_block_mask", "mask_to_block_lists", "pack_block_lists",
+           "packed_row_size", "plan_block_sparsity"]
 
 
 def build_block_mask(
@@ -114,6 +115,31 @@ def mask_to_block_lists(mask: jax.Array) -> tuple[jax.Array, jax.Array]:
     return indices, counts
 
 
+def packed_row_size(num_kv_blocks: int) -> int:
+    """Row stride of the packed list layout: count slot + ids, tile-aligned.
+
+    The kernel DMAs rows out of a flattened 1-D int32 array; Mosaic tiles
+    1-D int32 HBM buffers in 1024-element tiles (8 sublanes x 128 lanes),
+    so both the row stride and every row offset must be 1024-aligned.
+    """
+    return -(-(num_kv_blocks + 1) // 1024) * 1024
+
+
+def pack_block_lists(indices: jax.Array, counts: jax.Array) -> jax.Array:
+    """Pack (indices, counts) into the kernel's DMA-aligned row layout.
+
+    Returns int32 ``[B, H, Qb, packed_row_size(nkb)]`` where slot 0 of each
+    row holds the count and slots 1.. hold the selected block ids. The
+    kernel DMAs one flattened row per query block straight into SMEM.
+    """
+    *lead, nkb = indices.shape
+    row = packed_row_size(nkb)
+    out = jnp.zeros((*lead, row), jnp.int32)
+    out = out.at[..., 0].set(counts)
+    out = out.at[..., 1:1 + nkb].set(indices)
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("top_k", "p_remain", "text_start_block", "text_blocks",
@@ -130,7 +156,7 @@ def plan_block_sparsity(
     block_size: int = 128,
     first_frame_blocks: int = 0,
 ):
-    """Fused mask build + index-list conversion. Returns (mask, indices, counts)."""
+    """Fused mask build + packed-list conversion. Returns (mask, packed)."""
     mask = build_block_mask(
         q, k,
         top_k=top_k, p_remain=p_remain,
@@ -138,4 +164,4 @@ def plan_block_sparsity(
         block_neighbors=block_neighbors, block_size=block_size,
         first_frame_blocks=first_frame_blocks)
     indices, counts = mask_to_block_lists(mask)
-    return mask, indices, counts
+    return mask, pack_block_lists(indices, counts)

@@ -11,8 +11,13 @@ from jenga_tpu.ops.block_sparse_attention import block_sparse_attention
 from jenga_tpu.sparse.planner import (
     build_block_mask,
     mask_to_block_lists,
+    pack_block_lists,
     plan_block_sparsity,
 )
+
+
+def _lists(mask):
+    return pack_block_lists(*mask_to_block_lists(mask))
 
 BM = 128
 
@@ -114,11 +119,10 @@ class TestKernelVsReference:
         mask = mask.at[..., 0].set(True)
         if tsb is not None:
             mask = mask.at[..., tsb:].set(True)
-        indices, counts = mask_to_block_lists(mask)
         kwargs = dict(text_amp=text_amp,
                       text_start_block=tsb if tsb is not None else nqb,
                       seqlen=seqlen)
-        out = block_sparse_attention(q, k, v, indices, counts,
+        out = block_sparse_attention(q, k, v, _lists(mask),
                                      interpret=True, **kwargs)
         ref = block_sparse_attention_reference(q, k, v, mask, **kwargs)
         return np.asarray(out), np.asarray(ref)
@@ -147,8 +151,7 @@ class TestKernelVsReference:
         s = nqb * BM
         q, k, v = _qkv(self.key, b, h, s, d, jnp.float32)
         mask = jnp.ones((b, h, nqb, nqb), bool)
-        indices, counts = mask_to_block_lists(mask)
-        out = block_sparse_attention(q, k, v, indices, counts, interpret=True)
+        out = block_sparse_attention(q, k, v, _lists(mask), interpret=True)
         expected = jax.nn.softmax(
             jnp.einsum("bhqd,bhkd->bhqk", q, k) * d ** -0.5, -1)
         expected = jnp.einsum("bhqk,bhkd->bhqd", expected, v)
@@ -163,16 +166,15 @@ class TestKernelVsReference:
         nqb = tsb + tb
         s = nqb * BM
         q, k, v = _qkv(self.key, b, h, s, d, jnp.float32)
-        mask, indices, counts = plan_block_sparsity(
+        mask, packed = plan_block_sparsity(
             q[:, :, :tsb * BM], k, None, top_k=2, p_remain=0.4,
             text_start_block=tsb, text_blocks=tb)
         # text query rows attend densely
         full = jnp.ones((b, h, nqb - tsb, nqb), bool)
-        indices_t, counts_t = mask_to_block_lists(full)
-        idx = jnp.concatenate([indices, indices_t], axis=2)
-        cnt = jnp.concatenate([counts, counts_t], axis=2)
+        packed_t = _lists(full)
+        lists = jnp.concatenate([packed, packed_t], axis=2)
         full_mask = jnp.concatenate([mask, full], axis=2)
-        out = block_sparse_attention(q, k, v, idx, cnt,
+        out = block_sparse_attention(q, k, v, lists,
                                      text_start_block=tsb, interpret=True)
         ref = block_sparse_attention_reference(q, k, v, full_mask,
                                                text_start_block=tsb)
