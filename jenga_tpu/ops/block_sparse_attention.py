@@ -161,7 +161,7 @@ def block_sparse_attention(
     text_start_block: int = 0,
     seqlen: int | None = None,
     block_n: int = DEFAULT_BLOCK,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """Block-sparse flash attention. Returns [B, H, S, D] in q.dtype.
 
@@ -170,6 +170,9 @@ def block_sparse_attention(
     query-block) row, slot 0 holds the selected-block count and slots 1..
     the ascending key-block ids, padded to a 1024-aligned row.
     """
+    if interpret is None:
+        # Mosaic only targets TPU; emulate on CPU (tests, tiny local runs).
+        interpret = jax.default_backend() == "cpu"
     b, h, s, d = q.shape
     skv = k.shape[2]
     block_m = DEFAULT_BLOCK
@@ -204,9 +207,9 @@ def block_sparse_attention(
         in_specs=[
             pl.BlockSpec((1, block_m, d), lambda bi, qi: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, block_m, d), lambda bi, qi: (bi, qi, 0),
                                memory_space=pltpu.VMEM),

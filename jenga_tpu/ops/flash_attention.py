@@ -1,0 +1,87 @@
+"""Dense attention dispatch: Pallas flash attention with jnp fallbacks.
+
+Counterpart of the reference's dense-attention layer
+(`/root/reference/hyvideo/modules/attenion.py:34-157`,
+`/root/reference/wan/modules/attention.py:24-131`), which dispatches between
+flash-attn v2/v3, torch SDPA and a vanilla path. Here the fast path is the
+stock JAX Pallas TPU flash-attention kernel (already MXU-tuned; no reason to
+hand-roll a dense kernel when the carving kernel is the novel one), and the
+fallback is chunked jnp attention that works on any backend (CPU tests) and
+for short sequences where kernel launch overhead dominates.
+
+Uses:
+  * dense DiT baselines (the "speed-of-light we must beat" bench arm),
+  * the Wan dense-attention fallback when ``sa_drop_rate <= 0.25``
+    (`/root/reference/wan/modules/model_mul.py:153-159`),
+  * Wan cross-attention over short text sequences,
+  * dense paths of the Ulysses wrapper.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["dense_attention", "attention_bshd"]
+
+_FLASH_MIN_SEQ = 1024  # below this, XLA-fused jnp attention wins
+
+
+def _jnp_attention(q, k, v, sm_scale, q_chunk=4096):
+    """Chunked dense attention in plain jnp (any backend, any seq length)."""
+    b, h, sq, d = q.shape
+
+    def chunk(qc):
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qc.astype(jnp.float32),
+                            k.astype(jnp.float32)) * sm_scale
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+
+    if sq <= q_chunk:
+        return chunk(q).astype(q.dtype)
+    n = -(-sq // q_chunk)
+    pad = n * q_chunk - sq
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    qs = qp.reshape(b, h, n, q_chunk, d).transpose(2, 0, 1, 3, 4)
+    out = jax.lax.map(chunk, qs)  # sequential over chunks: bounded memory
+    out = out.transpose(1, 2, 0, 3, 4).reshape(b, h, n * q_chunk, d)
+    return out[:, :, :sq].astype(q.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "causal"))
+def dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    *, sm_scale: float | None = None,
+                    causal: bool = False) -> jax.Array:
+    """Dense multi-head attention over [B, H, S, D] tensors.
+
+    Dispatches to the Pallas TPU flash-attention kernel when running on TPU
+    with long-enough sequences, else to chunked jnp (which XLA fuses well on
+    every backend).
+    """
+    b, h, sq, d = q.shape
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu and sq >= _FLASH_MIN_SEQ and d % 128 == 0 and not causal:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention as pl_flash)
+        return pl_flash(q, k, v, causal=False, sm_scale=sm_scale)
+    if causal:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                            k.astype(jnp.float32)) * sm_scale
+        mask = jnp.tril(jnp.ones((sq, k.shape[2]), bool))
+        logits = jnp.where(mask, logits, -jnp.inf)
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p,
+                          v.astype(jnp.float32)).astype(q.dtype)
+    return _jnp_attention(q, k, v, sm_scale)
+
+
+def attention_bshd(q, k, v, **kwargs):
+    """Dense attention over [B, S, H, D] layout (the model-side layout)."""
+    out = dense_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                          v.transpose(0, 2, 1, 3), **kwargs)
+    return out.transpose(0, 2, 1, 3)

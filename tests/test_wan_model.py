@@ -1,0 +1,113 @@
+"""Wan DiT model tests on a tiny config (CPU, interpret-mode kernels)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jenga_tpu.curves.blocks import build_curve_plan
+from jenga_tpu.models.wan import (
+    WanConfig,
+    init_wan_params,
+    make_wan_carve,
+    wan_embed,
+    wan_forward,
+    wan_head,
+    wan_trunk,
+)
+
+TINY = WanConfig(dim=128, ffn_dim=256, freq_dim=32, num_heads=2,
+                 num_layers=2, text_dim=64, text_len=16, dtype="float32")
+GRID_IN = (2, 8, 12)  # latent F,H,W -> token grid (2, 4, 6) = 48 tokens
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    params = init_wan_params(key, TINY)
+    f, h, w = GRID_IN
+    x = jax.random.normal(jax.random.fold_in(key, 1),
+                          (1, TINY.in_dim, f, h, w), jnp.float32)
+    t = jnp.array([500.0])
+    ctx = jax.random.normal(jax.random.fold_in(key, 2),
+                            (1, TINY.text_len, TINY.text_dim), jnp.float32)
+    return params, x, t, ctx
+
+
+def test_dense_forward_shapes(setup):
+    params, x, t, ctx = setup
+    out = wan_forward(params, TINY, x, t, ctx)
+    assert out.shape == (1, TINY.out_dim, *GRID_IN)
+    assert jnp.isfinite(out).all()
+
+
+def test_zero_head_init_gives_zero_output(setup):
+    params, x, t, ctx = setup
+    out = wan_forward(params, TINY, x, t, ctx)
+    # head linear is zero-initialized like the reference -> exact zeros
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_carved_forward_runs_and_matches_shape(setup):
+    params, x, t, ctx = setup
+    token_grid = (2, 4, 6)
+    plan = build_curve_plan(token_grid, "sliced", 128)
+    carve = make_wan_carve(TINY, plan, sa_drop_rate=0.5, p_remain=0.9)
+    out = wan_forward(params, TINY, x, t, ctx, carve=carve)
+    assert out.shape == (1, TINY.out_dim, *GRID_IN)
+    assert jnp.isfinite(out).all()
+
+
+def test_carve_is_transparent_when_dense(setup):
+    """With drop<=0.25 (dense fallback) the carve reorder must be a no-op on
+    the output: reorder + rope-permute + inverse == dense path."""
+    params, x, t, ctx = setup
+    token_grid = (2, 4, 6)
+    plan = build_curve_plan(token_grid, "sliced", 128)
+    carve = make_wan_carve(TINY, plan, sa_drop_rate=0.0, p_remain=0.9)
+    dense = wan_forward(params, TINY, x, t, ctx)
+    carved = wan_forward(params, TINY, x, t, ctx, carve=carve)
+    np.testing.assert_allclose(np.asarray(carved), np.asarray(dense),
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_embed_trunk_head_composition(setup):
+    params, x, t, ctx = setup
+    h0, aux = wan_embed(params, TINY, x, t, ctx)
+    h1 = wan_trunk(params, TINY, h0, aux)
+    out = wan_head(params, TINY, h1, aux)
+    full = wan_forward(params, TINY, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=1e-6)
+
+
+def test_timestep_changes_output():
+    key = jax.random.PRNGKey(3)
+    cfg = dataclasses.replace(TINY)
+    params = init_wan_params(key, cfg)
+    # non-zero head so outputs respond to inputs
+    params["head"]["linear"]["w"] = jax.random.normal(
+        key, params["head"]["linear"]["w"].shape, jnp.float32) * 0.02
+    f, h, w = GRID_IN
+    x = jax.random.normal(key, (1, cfg.in_dim, f, h, w), jnp.float32)
+    ctx = jnp.zeros((1, cfg.text_len, cfg.text_dim), jnp.float32)
+    o1 = wan_forward(params, cfg, x, jnp.array([100.0]), ctx)
+    o2 = wan_forward(params, cfg, x, jnp.array([900.0]), ctx)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_i2v_variant_runs():
+    cfg = dataclasses.replace(TINY, model_type="i2v", in_dim=32)
+    key = jax.random.PRNGKey(4)
+    params = init_wan_params(key, cfg)
+    f, h, w = GRID_IN
+    x = jax.random.normal(key, (1, 16, f, h, w), jnp.float32)
+    y = jax.random.normal(jax.random.fold_in(key, 1), (1, 16, f, h, w),
+                          jnp.float32)
+    clip_fea = jax.random.normal(jax.random.fold_in(key, 2), (1, 257, 1280),
+                                 jnp.float32)
+    ctx = jnp.zeros((1, cfg.text_len, cfg.text_dim), jnp.float32)
+    out = wan_forward(params, cfg, x, jnp.array([10.0]), ctx,
+                      clip_fea=clip_fea, y=y)
+    assert out.shape == (1, cfg.out_dim, f, h, w)
