@@ -221,8 +221,11 @@ def init_wan_params(key, cfg: WanConfig):
 
 
 def _self_attention(p, x, cfg: WanConfig, carve: WanCarve | None,
-                    rope_cos, rope_sin):
-    """Carved (or dense-fallback) self-attention over curve-ordered tokens."""
+                    rope_cos, rope_sin, top_k=None):
+    """Carved (or dense-fallback) self-attention over curve-ordered tokens.
+
+    ``top_k`` may be a traced scalar (drop-rate warmup changes it per step;
+    keeping it dynamic avoids a recompile per warmup step)."""
     b, s, d = x.shape
     n, hd = cfg.num_heads, cfg.head_dim
     q = L.rms_norm(L.linear(p["q"], x), p["norm_q"], cfg.eps)
@@ -241,9 +244,10 @@ def _self_attention(p, x, cfg: WanConfig, carve: WanCarve | None,
         kt = k.transpose(0, 2, 1, 3)
         vt = v.transpose(0, 2, 1, 3)
         num_blocks = s // 128
-        # reference floor semantics: int(num_blocks * (1 - drop))
-        # (`/root/reference/wan/modules/model_mul.py:164`)
-        top_k = int(num_blocks * (1.0 - carve.sa_drop_rate))
+        if top_k is None:
+            # reference floor semantics: int(num_blocks * (1 - drop))
+            # (`/root/reference/wan/modules/model_mul.py:164`)
+            top_k = int(num_blocks * (1.0 - carve.sa_drop_rate))
         mask = build_block_mask(
             qt, kt,
             top_k=top_k, p_remain=carve.p_remain,
@@ -287,14 +291,15 @@ def _cross_attention(p, x, context, cfg: WanConfig, image_tokens: int = 0):
 
 
 def _block(p, x, e6, context, cfg: WanConfig, carve, rope_cos, rope_sin,
-           image_tokens: int):
+           image_tokens: int, top_k=None):
     """One WanAttentionBlock (`/root/reference/wan/modules/model_mul.py:
     258-346`): 6-way modulation, sparse self-attn, dense cross-attn, MLP."""
     e = (p["modulation"][None].astype(jnp.float32) + e6)  # [B, 6, d] f32
     e0, e1, e2, e3, e4, e5 = [e[:, i:i + 1] for i in range(6)]
 
     y = L.modulate(L.layer_norm(x, eps=cfg.eps), shift=e0, scale=e1)
-    y = _self_attention(p["self_attn"], y, cfg, carve, rope_cos, rope_sin)
+    y = _self_attention(p["self_attn"], y, cfg, carve, rope_cos, rope_sin,
+                        top_k)
     x = (x.astype(jnp.float32) + y.astype(jnp.float32)
          * e2.astype(jnp.float32)).astype(x.dtype)
 
@@ -363,7 +368,7 @@ def wan_embed(params, cfg: WanConfig, x, t, context,
 
 
 def wan_trunk(params, cfg: WanConfig, h, aux,
-              carve: WanCarve | None = None):
+              carve: WanCarve | None = None, top_k=None):
     """The block stack; input/output are curve-ordered hidden states so the
     TeaCache residual ``h_out - h_in`` lives in this space
     (`/root/reference/jenga_wan.py:623-648`)."""
@@ -375,7 +380,7 @@ def wan_trunk(params, cfg: WanConfig, h, aux,
                                  wan_rope_tables(cfg, aux["grid"]))
     for p in params["blocks"]:
         h = _block(p, h, aux["e6"], aux["ctx"], cfg, carve, rope_cos,
-                   rope_sin, aux["image_tokens"])
+                   rope_sin, aux["image_tokens"], top_k)
     return h
 
 
@@ -396,7 +401,8 @@ def wan_head(params, cfg: WanConfig, h, aux,
 
 
 def wan_forward(params, cfg: WanConfig, x, t, context,
-                carve: WanCarve | None = None, clip_fea=None, y=None):
+                carve: WanCarve | None = None, clip_fea=None, y=None,
+                top_k=None):
     """Full denoise velocity prediction.
 
     Args:
@@ -410,5 +416,5 @@ def wan_forward(params, cfg: WanConfig, x, t, context,
     Returns [B, C_out, F, H, W] velocity in f32.
     """
     h, aux = wan_embed(params, cfg, x, t, context, carve, clip_fea, y)
-    h = wan_trunk(params, cfg, h, aux, carve)
+    h = wan_trunk(params, cfg, h, aux, carve, top_k)
     return wan_head(params, cfg, h, aux, carve)
