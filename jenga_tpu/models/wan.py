@@ -32,6 +32,7 @@ import numpy as np
 
 from ..ops.block_sparse_attention import block_sparse_attention
 from ..ops.flash_attention import attention_bshd
+from ..parallel.ulysses import ulysses_self_attention
 from ..sparse.planner import build_block_mask, mask_to_block_lists, \
     pack_block_lists
 from . import layers as L
@@ -221,11 +222,13 @@ def init_wan_params(key, cfg: WanConfig):
 
 
 def _self_attention(p, x, cfg: WanConfig, carve: WanCarve | None,
-                    rope_cos, rope_sin, top_k=None):
+                    rope_cos, rope_sin, top_k=None, mesh=None):
     """Carved (or dense-fallback) self-attention over curve-ordered tokens.
 
     ``top_k`` may be a traced scalar (drop-rate warmup changes it per step;
-    keeping it dynamic avoids a recompile per warmup step)."""
+    keeping it dynamic avoids a recompile per warmup step). With ``mesh``
+    set, attention runs under Ulysses sequence parallelism (tokens sharded
+    outside, heads sharded inside the shard_map island)."""
     b, s, d = x.shape
     n, hd = cfg.num_heads, cfg.head_dim
     q = L.rms_norm(L.linear(p["q"], x), p["norm_q"], cfg.eps)
@@ -234,6 +237,23 @@ def _self_attention(p, x, cfg: WanConfig, carve: WanCarve | None,
     q = q.reshape(b, s, n, hd)
     k = k.reshape(b, s, n, hd)
     v = v.reshape(b, s, n, hd)
+
+    if mesh is not None:
+        sparse = carve is not None and carve.sa_drop_rate > 0.25
+        if sparse and top_k is None:
+            nb = s // 128
+            top_k = int(nb * (1.0 - carve.sa_drop_rate))
+        out = ulysses_self_attention(
+            q, k, v, rope_cos, rope_sin, mesh, sparse=sparse,
+            block_neighbors=None if carve is None else jnp.asarray(
+                carve.block_neighbors),
+            top_k=top_k,
+            p_remain=1.0 if carve is None else carve.p_remain,
+            seqlen=None if carve is None else carve.seqlen,
+            first_frame_blocks=0 if carve is None
+            else carve.first_frame_blocks)
+        return L.linear(p["o"], out.reshape(b, s, d))
+
     q = L.apply_rope(q, rope_cos, rope_sin)
     k = L.apply_rope(k, rope_cos, rope_sin)
 
@@ -291,7 +311,7 @@ def _cross_attention(p, x, context, cfg: WanConfig, image_tokens: int = 0):
 
 
 def _block(p, x, e6, context, cfg: WanConfig, carve, rope_cos, rope_sin,
-           image_tokens: int, top_k=None):
+           image_tokens: int, top_k=None, mesh=None):
     """One WanAttentionBlock (`/root/reference/wan/modules/model_mul.py:
     258-346`): 6-way modulation, sparse self-attn, dense cross-attn, MLP."""
     e = (p["modulation"][None].astype(jnp.float32) + e6)  # [B, 6, d] f32
@@ -299,7 +319,7 @@ def _block(p, x, e6, context, cfg: WanConfig, carve, rope_cos, rope_sin,
 
     y = L.modulate(L.layer_norm(x, eps=cfg.eps), shift=e0, scale=e1)
     y = _self_attention(p["self_attn"], y, cfg, carve, rope_cos, rope_sin,
-                        top_k)
+                        top_k, mesh)
     x = (x.astype(jnp.float32) + y.astype(jnp.float32)
          * e2.astype(jnp.float32)).astype(x.dtype)
 
@@ -368,7 +388,7 @@ def wan_embed(params, cfg: WanConfig, x, t, context,
 
 
 def wan_trunk(params, cfg: WanConfig, h, aux,
-              carve: WanCarve | None = None, top_k=None):
+              carve: WanCarve | None = None, top_k=None, mesh=None):
     """The block stack; input/output are curve-ordered hidden states so the
     TeaCache residual ``h_out - h_in`` lives in this space
     (`/root/reference/jenga_wan.py:623-648`)."""
@@ -380,7 +400,7 @@ def wan_trunk(params, cfg: WanConfig, h, aux,
                                  wan_rope_tables(cfg, aux["grid"]))
     for p in params["blocks"]:
         h = _block(p, h, aux["e6"], aux["ctx"], cfg, carve, rope_cos,
-                   rope_sin, aux["image_tokens"], top_k)
+                   rope_sin, aux["image_tokens"], top_k, mesh)
     return h
 
 
@@ -402,7 +422,7 @@ def wan_head(params, cfg: WanConfig, h, aux,
 
 def wan_forward(params, cfg: WanConfig, x, t, context,
                 carve: WanCarve | None = None, clip_fea=None, y=None,
-                top_k=None):
+                top_k=None, mesh=None):
     """Full denoise velocity prediction.
 
     Args:
@@ -416,5 +436,9 @@ def wan_forward(params, cfg: WanConfig, x, t, context,
     Returns [B, C_out, F, H, W] velocity in f32.
     """
     h, aux = wan_embed(params, cfg, x, t, context, carve, clip_fea, y)
-    h = wan_trunk(params, cfg, h, aux, carve, top_k)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        h = jax.lax.with_sharding_constraint(
+            h, NamedSharding(mesh, P(None, "sp", None)))
+    h = wan_trunk(params, cfg, h, aux, carve, top_k, mesh)
     return wan_head(params, cfg, h, aux, carve)

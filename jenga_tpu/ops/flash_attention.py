@@ -67,7 +67,21 @@ def dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if on_tpu and sq >= _FLASH_MIN_SEQ and d % 128 == 0 and not causal:
         from jax.experimental.pallas.ops.tpu.flash_attention import (
-            flash_attention as pl_flash)
+            BlockSizes, SegmentIds, flash_attention as pl_flash)
+        skv = k.shape[2]
+        sq_p = -(-sq // 128) * 128
+        skv_p = -(-skv // 128) * 128
+        if sq_p != sq or skv_p != skv:
+            qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+            kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+            vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+            seg_q = (jnp.arange(sq_p) >= sq).astype(jnp.int32)[None]
+            seg_kv = (jnp.arange(skv_p) >= skv).astype(jnp.int32)[None]
+            seg = SegmentIds(q=jnp.broadcast_to(seg_q, (b, sq_p)),
+                             kv=jnp.broadcast_to(seg_kv, (b, skv_p)))
+            out = pl_flash(qp, kp, vp, segment_ids=seg, causal=False,
+                           sm_scale=sm_scale)
+            return out[:, :, :sq]
         return pl_flash(q, k, v, causal=False, sm_scale=sm_scale)
     if causal:
         logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),

@@ -1,0 +1,118 @@
+"""HunyuanVideo MMDiT tests on a tiny config (CPU, interpret kernels)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jenga_tpu.curves.blocks import build_curve_plan
+from jenga_tpu.models.hyvideo import (
+    HYVideoConfig,
+    hyvideo_embed,
+    hyvideo_forward,
+    hyvideo_head,
+    hyvideo_trunk,
+    init_hyvideo_params,
+    make_hy_carve,
+)
+
+TINY = HYVideoConfig(hidden_size=128, heads_num=2, double_blocks=2,
+                     single_blocks=2, rope_dim_list=(16, 24, 24),
+                     text_states_dim=48, text_states_dim_2=24,
+                     refiner_depth=1, guidance_embed=True, dtype="float32")
+LATENT = (2, 8, 12)   # -> token grid (2, 4, 6) = 48 img tokens
+TXT_LEN = 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    params = init_hyvideo_params(key, TINY)
+    f, h, w = LATENT
+    x = jax.random.normal(jax.random.fold_in(key, 1),
+                          (1, TINY.in_channels, f, h, w), jnp.float32)
+    t = jnp.array([500.0])
+    txt = jax.random.normal(jax.random.fold_in(key, 2),
+                            (1, TXT_LEN, TINY.text_states_dim), jnp.float32)
+    mask = jnp.ones((1, TXT_LEN), jnp.int32).at[0, 6:].set(0)
+    txt2 = jax.random.normal(jax.random.fold_in(key, 3),
+                             (1, TINY.text_states_dim_2), jnp.float32)
+    return params, x, t, txt, mask, txt2
+
+
+def test_dense_forward_shape_and_zero_head(setup):
+    params, x, t, txt, mask, txt2 = setup
+    out = hyvideo_forward(params, TINY, x, t, txt, mask, txt2)
+    assert out.shape == (1, TINY.out_channels, *LATENT)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)  # zero-init head
+
+
+def test_carved_forward_runs(setup):
+    params, x, t, txt, mask, txt2 = setup
+    plan = build_curve_plan((2, 4, 6), "gilbert", 128)
+    carve = make_hy_carve(TINY, plan, sa_drop_rate=0.5, p_remain=0.5,
+                          text_amp=-1.0, txt_block_num=1)
+    out = hyvideo_forward(params, TINY, x, t, txt, mask, txt2, carve=carve)
+    assert out.shape == (1, TINY.out_channels, *LATENT)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_stage_split_composition(setup):
+    params, x, t, txt, mask, txt2 = setup
+    img, txth, aux = hyvideo_embed(params, TINY, x, t, txt, mask, txt2)
+    img2 = hyvideo_trunk(params, TINY, img, txth, aux)
+    out = hyvideo_head(params, TINY, img2, aux)
+    full = hyvideo_forward(params, TINY, x, t, txt, mask, txt2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=1e-6)
+
+
+def test_text_mask_affects_refiner(setup):
+    params, x, t, txt, mask, txt2 = setup
+    # adaLN gates are zero-initialized (reference parity), which makes the
+    # refiner identity at init; randomize them so attention reaches out.
+    params = jax.tree.map(lambda a: a, params)  # shallow copy
+    for blk in params["txt_in"]["blocks"]:
+        blk["adaLN"] = dict(blk["adaLN"])
+        blk["adaLN"]["w"] = jax.random.normal(
+            jax.random.PRNGKey(7), blk["adaLN"]["w"].shape,
+            jnp.float32) * 0.1
+    img1, txt_a, _ = hyvideo_embed(params, TINY, x, t, txt, mask, txt2)
+    mask_b = jnp.ones_like(mask)
+    _, txt_b, _ = hyvideo_embed(params, TINY, x, t, txt, mask_b, txt2)
+    assert not np.allclose(np.asarray(txt_a), np.asarray(txt_b))
+
+
+def test_guidance_changes_modulation():
+    cfg = TINY
+    key = jax.random.PRNGKey(5)
+    params = init_hyvideo_params(key, cfg)
+    # randomize final layer adaLN so modulation reaches the output
+    params["final_layer"]["adaLN"]["w"] = jax.random.normal(
+        key, params["final_layer"]["adaLN"]["w"].shape, jnp.float32) * 0.1
+    params["final_layer"]["linear"]["w"] = jax.random.normal(
+        jax.random.fold_in(key, 1),
+        params["final_layer"]["linear"]["w"].shape, jnp.float32) * 0.02
+    f, h, w = LATENT
+    x = jax.random.normal(key, (1, cfg.in_channels, f, h, w))
+    txt = jnp.zeros((1, TXT_LEN, cfg.text_states_dim))
+    txt2 = jnp.zeros((1, cfg.text_states_dim_2))
+    o1 = hyvideo_forward(params, cfg, x, jnp.array([500.0]), txt, None, txt2,
+                         guidance=jnp.array([1000.0]))
+    o2 = hyvideo_forward(params, cfg, x, jnp.array([500.0]), txt, None, txt2,
+                         guidance=jnp.array([6000.0]))
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_carve_transparent_at_zero_drop(setup):
+    """sa_drop_rate == 0 -> dense attention; the curve reorder + rope
+    permutation + inverse must reproduce the dense result."""
+    params, x, t, txt, mask, txt2 = setup
+    plan = build_curve_plan((2, 4, 6), "gilbert", 128)
+    carve = make_hy_carve(TINY, plan, sa_drop_rate=0.0, p_remain=0.5)
+    dense = hyvideo_forward(params, TINY, x, t, txt, mask, txt2)
+    carved = hyvideo_forward(params, TINY, x, t, txt, mask, txt2,
+                             carve=carve)
+    np.testing.assert_allclose(np.asarray(carved), np.asarray(dense),
+                               atol=2e-4, rtol=2e-3)
