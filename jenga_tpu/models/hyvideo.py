@@ -286,7 +286,10 @@ def _joint_attention(q, k, v, cfg: HYVideoConfig, carve: HYCarve | None,
     attention_block_triton_diffres.py:298-396`)."""
     b, s, n, hd = q.shape
     s_pad = -(-s // 128) * 128
-    if carve is None or carve.sa_drop_rate == 0.0:
+    # dense fallback: no carving, or the sequence is so short that there is
+    # no video block left after the trailing text blocks (tiny test shapes)
+    if (carve is None or carve.sa_drop_rate == 0.0
+            or s_pad // 128 <= carve.txt_block_num):
         return attention_bshd(q, k, v).reshape(b, s, n * hd)
 
     pad = s_pad - s

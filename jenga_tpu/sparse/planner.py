@@ -65,19 +65,19 @@ def build_block_mask(
         "bhqd,bhkd->bhqk", q_pool, k_pool,
         preferred_element_type=jnp.float32) * (d ** -0.5)
 
-    # Top-p over video key blocks only.
+    # Top-p over video key blocks only. One value-sort per row; membership
+    # is then a threshold compare against the needed-th largest prob (the
+    # reference double-argsorts to ranks; exact f32 prob ties — vanishingly
+    # rare — may select a block more here, never fewer).
     video_scores = scores[..., :text_start_block]
     probs = jax.nn.softmax(video_scores, axis=-1)
     sorted_probs = jnp.sort(probs, axis=-1, descending=True)
     cumsum = jnp.cumsum(sorted_probs, axis=-1)
     needed = jnp.sum(cumsum <= p_remain, axis=-1) + 1
     needed = jnp.maximum(needed, top_k)
-
-    # rank[..., j] = position of video block j in the descending-prob order;
-    # selected iff rank < needed.
-    order = jnp.argsort(-probs, axis=-1, stable=True)
-    rank = jnp.argsort(order, axis=-1, stable=True)
-    video_mask = rank < needed[..., None]
+    needed = jnp.minimum(needed, text_start_block)
+    kth = jnp.take_along_axis(sorted_probs, needed[..., None] - 1, axis=-1)
+    video_mask = probs >= kth
 
     if block_neighbors is not None:
         neighbor = jnp.asarray(
@@ -108,9 +108,17 @@ def mask_to_block_lists(mask: jax.Array) -> tuple[jax.Array, jax.Array]:
     runs a dynamic-length DMA loop over exactly ``counts`` blocks instead of
     branching over every block like the reference one-hot Triton kernel.
     """
-    # stable argsort of (not selected): False (selected) sorts first and
-    # stability keeps ascending block-id order within each group.
-    indices = jnp.argsort(~mask, axis=-1, stable=True).astype(jnp.int32)
+    # cumsum + scatter instead of a sort: selected column j lands at
+    # position (number of selected columns < j); unselected columns are
+    # routed to a dump slot that is sliced off.
+    nkb = mask.shape[-1]
+    cols = jnp.arange(nkb, dtype=jnp.int32)
+    pos = jnp.cumsum(mask, axis=-1, dtype=jnp.int32) - 1
+    dest = jnp.where(mask, pos, nkb)
+    lists = jnp.zeros((*mask.shape[:-1], nkb + 1), jnp.int32)
+    indices = jnp.put_along_axis(
+        lists, dest, jnp.broadcast_to(cols, mask.shape), axis=-1,
+        inplace=False)[..., :nkb]
     counts = jnp.sum(mask, axis=-1, dtype=jnp.int32)
     return indices, counts
 
