@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["load_torch_state_dict", "convert_wan_dit", "convert_hyvideo_dit",
-           "convert_hyvae", "save_params", "load_params"]
+           "convert_hyvae", "convert_wanvae", "save_params", "load_params"]
 
 
 def _np(t):
@@ -297,3 +297,79 @@ def load_params(path: str, like) -> dict:
                         for k in keypath)
         out.append(data[name])
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def convert_wanvae(sd: dict, cfg, dtype=np.float32) -> dict:
+    """WanVAE_ state dict -> ``codec.vae_wan`` param tree (reference module
+    layout with flat nn.Sequential indices,
+    `/root/reference/wan/modules/vae.py:265-509`)."""
+    def c3(name):
+        return {"w": _np(sd[f"{name}.weight"]).astype(dtype),
+                "b": _np(sd[f"{name}.bias"]).astype(dtype)}
+
+    def c2(name):
+        return {"w": _np(sd[f"{name}.weight"]).astype(dtype),
+                "b": _np(sd[f"{name}.bias"]).astype(dtype)}
+
+    def rms(name):
+        return {"g": _np(sd[f"{name}.gamma"]).reshape(-1).astype(np.float32)}
+
+    def resblock(pre):
+        p = {"norm1": rms(f"{pre}.residual.0"),
+             "conv1": c3(f"{pre}.residual.2"),
+             "norm2": rms(f"{pre}.residual.3"),
+             "conv2": c3(f"{pre}.residual.6")}
+        if f"{pre}.shortcut.weight" in sd:
+            p["shortcut"] = c3(f"{pre}.shortcut")
+        return p
+
+    def attn(pre):
+        return {"norm": rms(f"{pre}.norm"),
+                "qkv": c2(f"{pre}.to_qkv"),
+                "proj": c2(f"{pre}.proj")}
+
+    def mid(pre):
+        return {"res0": resblock(f"{pre}.0"), "attn": attn(f"{pre}.1"),
+                "res1": resblock(f"{pre}.2")}
+
+    n_stage = len(cfg.dim_mult)
+
+    enc = {"conv1": c3("encoder.conv1"), "down": [],
+           "mid": mid("encoder.middle"),
+           "head_norm": rms("encoder.head.0"),
+           "head_conv": c3("encoder.head.2")}
+    idx = 0
+    for i in range(n_stage):
+        stage = {"res": []}
+        for _ in range(cfg.num_res_blocks):
+            stage["res"].append(resblock(f"encoder.downsamples.{idx}"))
+            idx += 1
+        if i != n_stage - 1:
+            pre = f"encoder.downsamples.{idx}"
+            stage["sample"] = {"conv": c2(f"{pre}.resample.1")}
+            if cfg.temporal_downsample[i]:
+                stage["sample"]["time_conv"] = c3(f"{pre}.time_conv")
+            idx += 1
+        enc["down"].append(stage)
+
+    dec = {"conv1": c3("decoder.conv1"), "up": [],
+           "mid": mid("decoder.middle"),
+           "head_norm": rms("decoder.head.0"),
+           "head_conv": c3("decoder.head.2")}
+    t_up = tuple(reversed(cfg.temporal_downsample))
+    idx = 0
+    for i in range(n_stage):
+        stage = {"res": []}
+        for _ in range(cfg.num_res_blocks + 1):
+            stage["res"].append(resblock(f"decoder.upsamples.{idx}"))
+            idx += 1
+        if i != n_stage - 1:
+            pre = f"decoder.upsamples.{idx}"
+            stage["sample"] = {"conv": c2(f"{pre}.resample.1")}
+            if t_up[i]:
+                stage["sample"]["time_conv"] = c3(f"{pre}.time_conv")
+            idx += 1
+        dec["up"].append(stage)
+
+    return {"encoder": enc, "decoder": dec,
+            "conv1": c3("conv1"), "conv2": c3("conv2")}

@@ -202,3 +202,111 @@ def test_convert_vae_structure_and_decode():
     z = jnp.ones((1, 4, 2, 4, 4)) * 0.1
     out = vae_decode(jax.tree.map(jnp.asarray, params), z, cfg)
     assert out.shape == (1, 3, 5, 32, 32)
+
+
+def _wanvae_state_dict(cfg):
+    from jenga_tpu.codec.vae_wan import WanVAEConfig
+    sd, seed = {}, [500]
+
+    def add(name, shape):
+        seed[0] += 1
+        sd[name] = _t(shape, seed[0])
+
+    def c3(name, ci, co, k=(3, 3, 3)):
+        add(f"{name}.weight", (co, ci, *k))
+        add(f"{name}.bias", (co,))
+
+    def c2(name, ci, co, k=3):
+        add(f"{name}.weight", (co, ci, k, k))
+        add(f"{name}.bias", (co,))
+
+    def rms(name, c, dims=(1, 1, 1)):
+        add(f"{name}.gamma", (c, *dims))
+
+    def res(pre, ci, co):
+        rms(f"{pre}.residual.0", ci)
+        c3(f"{pre}.residual.2", ci, co)
+        rms(f"{pre}.residual.3", co)
+        c3(f"{pre}.residual.6", co, co)
+        if ci != co:
+            c3(f"{pre}.shortcut", ci, co, k=(1, 1, 1))
+
+    def attnb(pre, c):
+        rms(f"{pre}.norm", c, dims=(1, 1))
+        c2(f"{pre}.to_qkv", c, 3 * c, k=1)
+        c2(f"{pre}.proj", c, c, k=1)
+
+    dims = [cfg.dim * u for u in (1,) + tuple(cfg.dim_mult)]
+    c3("encoder.conv1", 3, dims[0])
+    idx = 0
+    c = dims[0]
+    for i, co in enumerate(dims[1:]):
+        for _ in range(cfg.num_res_blocks):
+            res(f"encoder.downsamples.{idx}", c, co)
+            c = co
+            idx += 1
+        if i != len(cfg.dim_mult) - 1:
+            pre = f"encoder.downsamples.{idx}"
+            c2(f"{pre}.resample.1", co, co)
+            if cfg.temporal_downsample[i]:
+                c3(f"{pre}.time_conv", co, co, k=(3, 1, 1))
+            idx += 1
+    cm = dims[-1]
+    res("encoder.middle.0", cm, cm)
+    attnb("encoder.middle.1", cm)
+    res("encoder.middle.2", cm, cm)
+    rms("encoder.head.0", cm)
+    c3("encoder.head.2", cm, 2 * cfg.z_dim)
+
+    rdims = [cfg.dim * u for u in (cfg.dim_mult[-1],)
+             + tuple(reversed(cfg.dim_mult))]
+    t_up = tuple(reversed(cfg.temporal_downsample))
+    c3("decoder.conv1", cfg.z_dim, rdims[0])
+    res("decoder.middle.0", rdims[0], rdims[0])
+    attnb("decoder.middle.1", rdims[0])
+    res("decoder.middle.2", rdims[0], rdims[0])
+    idx = 0
+    for i, co in enumerate(rdims[1:]):
+        ci = rdims[i] // 2 if i in (1, 2, 3) else rdims[i]
+        c = ci
+        for _ in range(cfg.num_res_blocks + 1):
+            res(f"decoder.upsamples.{idx}", c, co)
+            c = co
+            idx += 1
+        if i != len(cfg.dim_mult) - 1:
+            pre = f"decoder.upsamples.{idx}"
+            c2(f"{pre}.resample.1", co, co // 2)
+            if t_up[i]:
+                c3(f"{pre}.time_conv", co, 2 * co, k=(3, 1, 1))
+            idx += 1
+    rms("decoder.head.0", cfg.dim)
+    c3("decoder.head.2", cfg.dim, 3)
+
+    c3("conv1", 2 * cfg.z_dim, 2 * cfg.z_dim, k=(1, 1, 1))
+    c3("conv2", cfg.z_dim, cfg.z_dim, k=(1, 1, 1))
+    return sd
+
+
+def test_convert_wanvae_structure_and_run():
+    from jenga_tpu.codec.vae_wan import (
+        WanVAEConfig, init_wanvae_params, wanvae_decode)
+    from jenga_tpu.convert import convert_wanvae
+    cfg = WanVAEConfig(dim=8, z_dim=4, dim_mult=(1, 2, 2, 2),
+                       num_res_blocks=1)
+    sd = _wanvae_state_dict(cfg)
+    params = convert_wanvae(sd, cfg)
+    ref = init_wanvae_params(jax.random.PRNGKey(0), cfg)
+    ref_paths = {p for p, _ in jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_paths = {p for p, _ in
+                 jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_paths == got_paths
+    for (pa, a), (_, b) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(ref)[0],
+                   key=lambda x: str(x[0])),
+            sorted(jax.tree_util.tree_flatten_with_path(params)[0],
+                   key=lambda x: str(x[0]))):
+        assert np.shape(a) == np.shape(b), (pa, np.shape(a), np.shape(b))
+    z = jnp.ones((1, 4, 2, 4, 4)) * 0.1
+    out = wanvae_decode(jax.tree.map(jnp.asarray, params), z, cfg,
+                        normalize=False)
+    assert out.shape == (1, 3, 5, 32, 32)
