@@ -45,8 +45,12 @@ def main():
     ctx2 = jax.random.normal(jax.random.fold_in(key, 1),
                              (2, cfg.text_len, cfg.text_dim), jnp.float32)
 
+    # With random weights pooled-QK attention is near-uniform, so the
+    # preset's p_remain=0.9 would select ~90% of blocks; production
+    # checkpoints have peaked attention and land near the top-k floor
+    # (~(1-drop) + adjacency). Pin the bench to that regime.
     plan = build_curve_plan(grid, "sliced", 128)
-    carve = make_wan_carve(cfg, plan, sa_drop_rate=0.75, p_remain=0.9)
+    carve = make_wan_carve(cfg, plan, sa_drop_rate=0.75, p_remain=0.15)
 
     @jax.jit
     def carved(params, x2, t2, ctx2):
@@ -57,11 +61,14 @@ def main():
         return wan_forward(params, cfg, x2, t2, ctx2, carve=None)
 
     def timeit(fn, iters):
-        fn(params, x2, t2, ctx2).block_until_ready()  # compile + warmup
-        fn(params, x2, t2, ctx2).block_until_ready()
+        out = fn(params, x2, t2, ctx2)          # compile + warmup
+        out.block_until_ready()
         t0 = time.perf_counter()
+        x = x2
         for _ in range(iters):
-            out = fn(params, x2, t2, ctx2)
+            # feed the output back in so every call is distinct work
+            x = jnp.concatenate([out[:1], out[1:]]) * 0.5 + x * 0.5
+            out = fn(params, x, t2, ctx2)
         out.block_until_ready()
         return (time.perf_counter() - t0) / iters
 

@@ -219,6 +219,29 @@ def init_hyvideo_params(key, cfg: HYVideoConfig):
 # --------------------------------------------------------------- pieces
 
 
+def _mod_tr(x, shift, scale, tr, which):
+    """Modulate with optional token-replace override: first-frame tokens
+    (static curve-ordered mask) take the t=0 modulation parameters
+    (reference `/root/reference/hyvideo_i2v/modules/modulate_layers.py:
+    38-71`). ``which`` picks the (shift, scale) pair from tr."""
+    y = L.modulate(L.layer_norm(x), shift=shift, scale=scale)
+    if tr is None:
+        return y
+    tr_shift, tr_scale = tr[which]
+    y_tr = L.modulate(L.layer_norm(x), shift=tr_shift, scale=tr_scale)
+    return jnp.where(tr["mask"][None, :, None], y_tr, y)
+
+
+def _gate_tr(x, y, gate, tr, which):
+    """Gated residual add with optional token-replace gate override."""
+    g = gate.astype(jnp.float32)
+    if tr is not None:
+        g = jnp.where(tr["mask"][None, :, None],
+                      tr[which].astype(jnp.float32), g)
+    return (x.astype(jnp.float32) + y.astype(jnp.float32) * g).astype(
+        x.dtype)
+
+
 def _timestep_embedder(p, t):
     """sinusoidal(256, cos-first) -> Linear -> SiLU -> Linear, f32
     (reference TimestepEmbedder,
@@ -328,9 +351,10 @@ def _joint_attention(q, k, v, cfg: HYVideoConfig, carve: HYCarve | None,
 
 
 def _double_block(p, img, txt, vec, cfg, carve, rope_cos, rope_sin,
-                  seqlen, top_k, mesh):
+                  seqlen, top_k, mesh, tr=None):
     """MMDoubleStreamBlock (`/root/reference/hyvideo/modules/
-    models_mul_block_gc_ha_multigpu.py:48-316`)."""
+    models_mul_block_gc_ha_multigpu.py:48-316`; token-replace variant
+    `/root/reference/hyvideo_i2v/modules/models_mul.py:147-295`)."""
     b, si, d = img.shape
     st = txt.shape[1]
     n, hd = cfg.heads_num, cfg.head_dim
@@ -338,9 +362,17 @@ def _double_block(p, img, txt, vec, cfg, carve, rope_cos, rope_sin,
     imod = L.linear(p["img_mod"], L.silu(vec)).astype(jnp.float32)[:, None]
     tmod = L.linear(p["txt_mod"], L.silu(vec)).astype(jnp.float32)[:, None]
     im = [imod[..., i * d:(i + 1) * d] for i in range(6)]
+    tr_img = None
+    if tr is not None:
+        trmod = L.linear(p["img_mod"],
+                         L.silu(tr["vec"])).astype(jnp.float32)[:, None]
+        trm = [trmod[..., i * d:(i + 1) * d] for i in range(6)]
+        tr_img = {"mask": tr["mask_img"],
+                  "mod1": (trm[0], trm[1]), "gate1": trm[2],
+                  "mod2": (trm[3], trm[4]), "gate2": trm[5]}
     tm = [tmod[..., i * d:(i + 1) * d] for i in range(6)]
 
-    img_mod = L.modulate(L.layer_norm(img), shift=im[0], scale=im[1])
+    img_mod = _mod_tr(img, im[0], im[1], tr_img, "mod1")
     img_qkv = L.linear(p["img_qkv"], img_mod).reshape(b, si, 3, n, hd)
     img_q = L.rms_norm(img_qkv[:, :, 0], p["img_q_norm"])
     img_k = L.rms_norm(img_qkv[:, :, 1], p["img_k_norm"])
@@ -365,11 +397,12 @@ def _double_block(p, img, txt, vec, cfg, carve, rope_cos, rope_sin,
         return (x.astype(jnp.float32)
                 + y.astype(jnp.float32) * gate).astype(x.dtype)
 
-    img = gated(img, L.linear(p["img_proj"], img_attn), im[2])
-    y = L.modulate(L.layer_norm(img), shift=im[3], scale=im[4])
+    img = _gate_tr(img, L.linear(p["img_proj"], img_attn), im[2], tr_img,
+                   "gate1")
+    y = _mod_tr(img, im[3], im[4], tr_img, "mod2")
     y = L.linear(p["img_mlp"]["fc2"], L.gelu_tanh(
         L.linear(p["img_mlp"]["fc1"], y)))
-    img = gated(img, y, im[5])
+    img = _gate_tr(img, y, im[5], tr_img, "gate2")
 
     txt = gated(txt, L.linear(p["txt_proj"], txt_attn), tm[2])
     y = L.modulate(L.layer_norm(txt), shift=tm[3], scale=tm[4])
@@ -380,7 +413,7 @@ def _double_block(p, img, txt, vec, cfg, carve, rope_cos, rope_sin,
 
 
 def _single_block(p, x, vec, cfg, carve, rope_cos, rope_sin, txt_len,
-                  seqlen, top_k, mesh):
+                  seqlen, top_k, mesh, tr=None):
     """MMSingleStreamBlock (`/root/reference/hyvideo/modules/
     models_mul_block_gc_ha_multigpu.py:319-500`)."""
     b, s, d = x.shape
@@ -388,7 +421,14 @@ def _single_block(p, x, vec, cfg, carve, rope_cos, rope_sin, txt_len,
 
     m = L.linear(p["modulation"], L.silu(vec)).astype(jnp.float32)[:, None]
     shift, scale, gate = m[..., :d], m[..., d:2 * d], m[..., 2 * d:]
-    x_mod = L.modulate(L.layer_norm(x), shift=shift, scale=scale)
+    tr_full = None
+    if tr is not None:
+        tm = L.linear(p["modulation"],
+                      L.silu(tr["vec"])).astype(jnp.float32)[:, None]
+        tr_full = {"mask": tr["mask_full"],
+                   "mod": (tm[..., :d], tm[..., d:2 * d]),
+                   "gate": tm[..., 2 * d:]}
+    x_mod = _mod_tr(x, shift, scale, tr_full, "mod")
     y = L.linear(p["linear1"], x_mod)
     qkv, mlp = y[..., :3 * d], y[..., 3 * d:]
     qkv = qkv.reshape(b, s, 3, n, hd)
@@ -406,8 +446,7 @@ def _single_block(p, x, vec, cfg, carve, rope_cos, rope_sin, txt_len,
                             mesh)
     out = L.linear(p["linear2"],
                    jnp.concatenate([attn, L.gelu_tanh(mlp)], axis=-1))
-    return (x.astype(jnp.float32)
-            + out.astype(jnp.float32) * gate).astype(x.dtype)
+    return _gate_tr(x, out, gate, tr_full, "gate")
 
 
 # --------------------------------------------------------------- stages
@@ -433,6 +472,26 @@ def hyvideo_embed(params, cfg: HYVideoConfig, x, t, text_states, text_mask,
 
     txt = _token_refiner(params["txt_in"], cfg, text_states, t, text_mask)
 
+    # token-replace (I2V): first-frame tokens carry the t=0 modulation
+    # (reference `/root/reference/jenga_hyi2v.py:78-130`). The first-frame
+    # mask follows the curve reorder and is a static constant per stage.
+    tr = None
+    if cfg.i2v_condition_type == "token_replace":
+        t0 = jnp.zeros_like(t)
+        tr_vec = _timestep_embedder(params["time_in"], t0)
+        tr_vec = tr_vec + _mlp_embedder(
+            params["vector_in"], text_states_2.astype(jnp.float32))
+        tr_vec = tr_vec.astype(jnp.float32)
+        ff = grid[1] * grid[2]
+        mask_img = np.zeros(img.shape[1], bool)
+        mask_img[:ff] = True
+        if carve is not None:
+            mask_img = mask_img[carve.curve_order]
+        mask_full = np.concatenate(
+            [mask_img, np.zeros(txt.shape[1], bool)])
+        tr = dict(vec=tr_vec, mask_img=jnp.asarray(mask_img),
+                  mask_full=jnp.asarray(mask_full))
+
     if carve is not None:
         img = img[:, jnp.asarray(carve.curve_order)]
         rope_cos = jnp.asarray(carve.rope_cos)
@@ -442,7 +501,7 @@ def hyvideo_embed(params, cfg: HYVideoConfig, x, t, text_states, text_mask,
             jnp.asarray, hy_rope_tables(cfg, grid))
 
     aux = dict(vec=vec, grid=grid, rope_cos=rope_cos, rope_sin=rope_sin,
-               txt_len=txt.shape[1])
+               txt_len=txt.shape[1], tr=tr)
     return img, txt, aux
 
 
@@ -453,13 +512,18 @@ def hyvideo_trunk(params, cfg: HYVideoConfig, img, txt, aux,
     vec = aux["vec"]
     rope_cos, rope_sin = aux["rope_cos"], aux["rope_sin"]
     seqlen = img.shape[1] + txt.shape[1]
+    tr = aux.get("tr")
+    tr_img = None if tr is None else dict(vec=tr["vec"],
+                                          mask_img=tr["mask_img"])
+    tr_full = None if tr is None else dict(vec=tr["vec"],
+                                           mask_full=tr["mask_full"])
     for p in params["double_blocks"]:
         img, txt = _double_block(p, img, txt, vec, cfg, carve, rope_cos,
-                                 rope_sin, seqlen, top_k, mesh)
+                                 rope_sin, seqlen, top_k, mesh, tr_img)
     x = jnp.concatenate([img, txt], axis=1)
     for p in params["single_blocks"]:
         x = _single_block(p, x, vec, cfg, carve, rope_cos, rope_sin,
-                          aux["txt_len"], seqlen, top_k, mesh)
+                          aux["txt_len"], seqlen, top_k, mesh, tr_full)
     return x[:, :img.shape[1]]
 
 

@@ -116,3 +116,37 @@ def test_carve_transparent_at_zero_drop(setup):
                              carve=carve)
     np.testing.assert_allclose(np.asarray(carved), np.asarray(dense),
                                atol=2e-4, rtol=2e-3)
+
+
+def test_token_replace_i2v_variant():
+    """token_replace: first-frame tokens use t=0 modulation; output must
+    differ from the plain path and stay finite."""
+    cfg = dataclasses.replace(TINY, i2v_condition_type="token_replace")
+    key = jax.random.PRNGKey(11)
+    params = init_hyvideo_params(key, cfg)
+    params["final_layer"]["linear"]["w"] = jax.random.normal(
+        key, params["final_layer"]["linear"]["w"].shape, jnp.float32) * 0.02
+    f, h, w = LATENT
+    x = jax.random.normal(key, (1, cfg.in_channels, f, h, w))
+    txt = jnp.zeros((1, TXT_LEN, cfg.text_states_dim))
+    txt2 = jax.random.normal(jax.random.fold_in(key, 1),
+                             (1, cfg.text_states_dim_2))
+    out = hyvideo_forward(params, cfg, x, jnp.array([700.0]), txt, None,
+                          txt2)
+    assert out.shape == (1, cfg.out_channels, *LATENT)
+    assert np.isfinite(np.asarray(out)).all()
+    plain_cfg = dataclasses.replace(cfg, i2v_condition_type=None)
+    out_plain = hyvideo_forward(params, plain_cfg, x, jnp.array([700.0]),
+                                txt, None, txt2)
+    assert not np.allclose(np.asarray(out), np.asarray(out_plain))
+    # without guidance embed, t=0 makes the replace vec equal the main
+    # vec, so token_replace must reduce to the plain path exactly
+    ng = dataclasses.replace(cfg, guidance_embed=False)
+    ng_plain = dataclasses.replace(ng, i2v_condition_type=None)
+    params_ng = {k: v for k, v in params.items() if k != "guidance_in"}
+    out_t0 = hyvideo_forward(params_ng, ng, x, jnp.array([0.0]), txt, None,
+                             txt2)
+    out_plain_t0 = hyvideo_forward(params_ng, ng_plain, x,
+                                   jnp.array([0.0]), txt, None, txt2)
+    np.testing.assert_allclose(np.asarray(out_t0), np.asarray(out_plain_t0),
+                               atol=1e-4)
