@@ -146,3 +146,33 @@ class TestPipeline:
         a = pipe.generate(ctx, ctx, OPTS, decode=False)
         b = pipe.generate(ctx, ctx, OPTS, decode=False)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestDPM:
+    def test_linear_field_convergence(self):
+        from jenga_tpu.diffusion.dpm import dpm_init, dpm_schedule, dpm_step
+        key = jax.random.PRNGKey(4)
+        x0 = jax.random.normal(key, (4, 4))
+        eps = jax.random.normal(jax.random.fold_in(key, 1), (4, 4))
+        s = dpm_schedule(14, shift=3.0)
+        state = dpm_init(s)
+        x = eps
+        for i in range(s.num_steps):
+            sigma = float(s.sigmas[i])
+            # exact velocity of the linear flow at the current point
+            v = eps - x0
+            state, x = dpm_step(s, state, v, x)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-4)
+
+    def test_step_to_zero_and_add_noise(self):
+        from jenga_tpu.diffusion.dpm import (dpm_add_noise, dpm_schedule,
+                                             dpm_step_to_zero)
+        s = dpm_schedule(10, shift=2.0)
+        x = jnp.ones((2,))
+        v = jnp.full((2,), 0.5)
+        sig = float(s.sigmas[3])
+        np.testing.assert_allclose(
+            np.asarray(dpm_step_to_zero(s, 3, v, x)), 1 - sig * 0.5)
+        np.testing.assert_allclose(
+            np.asarray(dpm_add_noise(s, 3, x, v)),
+            (1 - sig) * 1.0 + sig * 0.5, rtol=1e-6)
