@@ -56,9 +56,14 @@ def main():
     def carved(params, x2, t2, ctx2):
         return wan_forward(params, cfg, x2, t2, ctx2, carve=carve)
 
+    # dense baseline through the same padded curve path (drop=0 -> dense
+    # attention); carve=None would leave S=32760 un-padded and push the
+    # stock flash kernel onto its slow segment-ids branch.
+    dense_carve = dataclasses.replace(carve, sa_drop_rate=0.0)
+
     @jax.jit
     def dense(params, x2, t2, ctx2):
-        return wan_forward(params, cfg, x2, t2, ctx2, carve=None)
+        return wan_forward(params, cfg, x2, t2, ctx2, carve=dense_carve)
 
     def timeit(fn, iters):
         out = fn(params, x2, t2, ctx2)          # compile + warmup

@@ -28,8 +28,17 @@ __all__ = [
 
 
 def linear(p, x, precision=None):
-    """Affine map with params {'w': [in, out], optional 'b': [out]}."""
-    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32,
+    """Affine map with params {'w': [in, out], optional 'b': [out]}.
+
+    Also accepts fp8 storage {'w8': e4m3, 'scale': f32} (see models.fp8):
+    the weight is dequantized to bf16 right before the matmul, halving
+    weight HBM traffic."""
+    if "w8" in p:
+        w = (p["w8"].astype(jnp.bfloat16)
+             * p["scale"].astype(jnp.bfloat16))
+    else:
+        w = p["w"]
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32,
                 precision=precision)
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
