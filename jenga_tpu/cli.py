@@ -1,0 +1,203 @@
+"""Command-line entry points (reference scripts ``jenga_hyvideo.py``,
+``jenga_wan.py``, ``jenga_hyi2v.py`` + the argparse groups of
+`/root/reference/hyvideo/config.py:7-485` and
+`/root/reference/jenga_wan.py:697-869`), rebuilt around the typed preset
+registry.
+
+Usage:
+  python -m jenga_tpu.cli hyvideo-t2v --prompt "..." --preset turbo \
+      --ckpt-dir /path/to/ckpts --save-path out.mp4
+  python -m jenga_tpu.cli wan-t2v --task t2v-1.3B --preset 1.3b-turbo ...
+
+Without --ckpt-dir the models run from random init (smoke/benchmark mode —
+this image carries no checkpoints; converters handle the real ones).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+
+def _common(p: argparse.ArgumentParser):
+    p.add_argument("--prompt", type=str, default="A cat walks on the grass")
+    p.add_argument("--neg-prompt", type=str, default=None)
+    p.add_argument("--ckpt-dir", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save-path", type=str, default="output.mp4")
+    p.add_argument("--infer-steps", type=int, default=None)
+    p.add_argument("--video-size", type=int, nargs=2, default=None,
+                   metavar=("W", "H"))
+    p.add_argument("--video-length", type=int, default=None)
+    p.add_argument("--sa-drop-rates", type=float, nargs="*", default=None)
+    p.add_argument("--p-remain-rates", type=float, default=None)
+    p.add_argument("--latents-only", action="store_true",
+                   help="skip VAE decode, dump latents .npy")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random model (CI smoke runs)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser("jenga_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    h = sub.add_parser("hyvideo-t2v", help="HunyuanVideo text-to-video")
+    _common(h)
+    h.add_argument("--preset", default="base",
+                   choices=["base", "turbo", "flash", "3stage", "accvideo"])
+    h.add_argument("--embedded-cfg-scale", type=float, default=6.0)
+    h.add_argument("--use-fp8", action="store_true")
+
+    i = sub.add_parser("hyvideo-i2v", help="HunyuanVideo image-to-video")
+    _common(i)
+    i.add_argument("--preset", default="base", choices=["base"])
+    i.add_argument("--i2v-image-path", type=str, required=False)
+    i.add_argument("--i2v-condition-type", default="token_replace",
+                   choices=["token_replace", "latent_concat"])
+    i.add_argument("--i2v-stability", action="store_true", default=True)
+
+    w = sub.add_parser("wan-t2v", help="Wan2.1 text-to-video")
+    _common(w)
+    w.add_argument("--task", default="t2v-1.3B",
+                   choices=["t2v-1.3B", "t2v-14B"])
+    w.add_argument("--preset", default="1.3b-base",
+                   choices=["1.3b-base", "1.3b-turbo", "14b-base",
+                            "14b-turbo"])
+    w.add_argument("--sample-shift", type=float, default=None)
+    w.add_argument("--enable-turbo", action="store_true")
+    w.add_argument("--teacache-thresh", type=float, default=None)
+
+    wi = sub.add_parser("wan-i2v", help="Wan2.1 image-to-video")
+    _common(wi)
+    wi.add_argument("--image", type=str, required=False)
+    wi.add_argument("--max-area", type=int, default=720 * 1280)
+
+    return ap
+
+
+def _save(args, out):
+    import numpy as np
+    if args.latents_only or out.ndim != 4 or out.shape[0] != 3:
+        path = args.save_path.rsplit(".", 1)[0] + ".npy"
+        np.save(path, np.asarray(out))
+        print(f"saved latents to {path}")
+    else:
+        from .utils.video import save_video
+        path = save_video(args.save_path, np.asarray(out))
+        print(f"saved video to {path}")
+
+
+def _apply_backend(args):
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
+def run_hyvideo_t2v(args):
+    _apply_backend(args)
+    import dataclasses as _dc
+    import jax.numpy as jnp
+    from .configs.presets import get_hy_preset
+    from .runtime import HunyuanVideoSampler
+
+    over = {}
+    if args.infer_steps:
+        over["num_inference_steps"] = args.infer_steps
+    if args.video_size:
+        over["size"] = tuple(args.video_size)
+    if args.video_length:
+        over["video_length"] = args.video_length
+    if args.sa_drop_rates:
+        over["sa_drop_rates"] = tuple(args.sa_drop_rates)
+    if args.p_remain_rates is not None:
+        over["p_remain"] = args.p_remain_rates
+    over["seed"] = args.seed
+    over["embedded_guidance_scale"] = args.embedded_cfg_scale
+    opts = get_hy_preset(args.preset, **over)
+
+    if args.tiny:
+        from .models.hyvideo import HYVideoConfig, init_hyvideo_params
+        import jax as _jax
+        cfg = HYVideoConfig(hidden_size=128, heads_num=2, double_blocks=1,
+                            single_blocks=1, rope_dim_list=(16, 24, 24),
+                            text_states_dim=64, text_states_dim_2=24,
+                            refiner_depth=1, dtype="float32")
+        sampler = HunyuanVideoSampler(
+            cfg, init_hyvideo_params(_jax.random.PRNGKey(args.seed), cfg))
+    else:
+        sampler = HunyuanVideoSampler.from_pretrained(
+            args.ckpt_dir, seed=args.seed, use_fp8=args.use_fp8)
+    # Text encoding requires the HF encoder checkpoints; without them, use
+    # zero embeddings (smoke mode).
+    txt = jnp.zeros((256, sampler.cfg.text_states_dim))
+    mask = jnp.ones((256,), jnp.int32)
+    txt2 = jnp.zeros((sampler.cfg.text_states_dim_2,))
+    t0 = time.time()
+    out = sampler.predict(txt, mask, txt2, opts,
+                          decode=not args.latents_only)
+    print(json.dumps({"gen_time_s": round(time.time() - t0, 2)}))
+    _save(args, out)
+
+
+def run_wan_t2v(args):
+    _apply_backend(args)
+    import jax.numpy as jnp
+    from .configs.presets import get_wan_preset
+    from .runtime import WanSampler
+
+    over = {"seed": args.seed}
+    if args.infer_steps:
+        over["sampling_steps"] = args.infer_steps
+    if args.video_size:
+        over["size"] = tuple(args.video_size)
+    if args.video_length:
+        over["frame_num"] = args.video_length
+    if args.sa_drop_rates:
+        over["sa_drop_rates"] = tuple(args.sa_drop_rates)
+    if args.p_remain_rates is not None:
+        over["p_remain"] = args.p_remain_rates
+    if args.sample_shift is not None:
+        over["shift"] = args.sample_shift
+    if args.enable_turbo:
+        over["enable_turbo"] = True
+    if args.teacache_thresh is not None:
+        over["teacache_thresh"] = args.teacache_thresh
+    opts = get_wan_preset(args.preset, **over)
+
+    if args.tiny:
+        from .models.wan import WanConfig, init_wan_params
+        import jax as _jax
+        cfg = WanConfig(dim=128, ffn_dim=256, freq_dim=32, num_heads=2,
+                        num_layers=2, text_dim=64, text_len=16,
+                        dtype="float32")
+        sampler = WanSampler(cfg, init_wan_params(
+            _jax.random.PRNGKey(args.seed), cfg))
+    else:
+        sampler = WanSampler.from_pretrained(args.task, args.ckpt_dir,
+                                             seed=args.seed)
+    ctx = jnp.zeros((64, sampler.cfg.text_dim))
+    t0 = time.time()
+    out = sampler.generate(ctx, jnp.zeros_like(ctx), opts,
+                           decode=not args.latents_only)
+    print(json.dumps({"gen_time_s": round(time.time() - t0, 2)}))
+    _save(args, out)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.cmd == "hyvideo-t2v":
+        run_hyvideo_t2v(args)
+    elif args.cmd == "wan-t2v":
+        run_wan_t2v(args)
+    else:
+        raise SystemExit(
+            f"{args.cmd}: image inputs require encoder checkpoints; wire "
+            "through jenga_tpu.runtime directly (see pipelines tests).")
+
+
+if __name__ == "__main__":
+    main()

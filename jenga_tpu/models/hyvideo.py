@@ -107,10 +107,11 @@ def make_hy_carve(cfg: HYVideoConfig, plan, sa_drop_rate: float,
                   positions: tuple | None = None) -> HYCarve:
     cos, sin = hy_rope_tables(cfg, plan.grid, order=plan.curve_order,
                               positions=positions)
-    return HYCarve(curve_order=plan.curve_order,
-                   inverse_order=plan.linear_to_curve,
-                   block_neighbors=plan.block_neighbors,
-                   rope_cos=cos, rope_sin=sin,
+    # device arrays: see make_wan_carve — avoids giant HLO literals.
+    return HYCarve(curve_order=jnp.asarray(plan.curve_order),
+                   inverse_order=jnp.asarray(plan.linear_to_curve),
+                   block_neighbors=jnp.asarray(plan.block_neighbors),
+                   rope_cos=jnp.asarray(cos), rope_sin=jnp.asarray(sin),
                    sa_drop_rate=float(sa_drop_rate),
                    p_remain=float(p_remain), text_amp=float(text_amp),
                    txt_block_num=int(txt_block_num))
@@ -486,7 +487,7 @@ def hyvideo_embed(params, cfg: HYVideoConfig, x, t, text_states, text_mask,
         mask_img = np.zeros(img.shape[1], bool)
         mask_img[:ff] = True
         if carve is not None:
-            mask_img = mask_img[carve.curve_order]
+            mask_img = mask_img[np.asarray(carve.curve_order)]
         mask_full = np.concatenate(
             [mask_img, np.zeros(txt.shape[1], bool)])
         tr = dict(vec=tr_vec, mask_img=jnp.asarray(mask_img),

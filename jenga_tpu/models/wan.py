@@ -128,11 +128,14 @@ def make_wan_carve(cfg: WanConfig, plan, sa_drop_rate: float,
     cos, sin = wan_rope_tables(cfg, plan.grid, order=plan.curve_order,
                                pad_to=s_pad)
     num_blocks = s_pad // 128
+    # device arrays: numpy constants closed over by jit are embedded as
+    # literal bytes in the HLO (blowing past compile-request limits);
+    # device arrays are lifted to parameters.
     return WanCarve(
-        curve_order=plan.curve_order,
-        inverse_order=plan.linear_to_curve,
-        block_neighbors=plan.block_neighbors,
-        rope_cos=cos, rope_sin=sin,
+        curve_order=jnp.asarray(plan.curve_order),
+        inverse_order=jnp.asarray(plan.linear_to_curve),
+        block_neighbors=jnp.asarray(plan.block_neighbors),
+        rope_cos=jnp.asarray(cos), rope_sin=jnp.asarray(sin),
         sa_drop_rate=float(sa_drop_rate), p_remain=float(p_remain),
         first_frame_blocks=num_blocks // 21,
         seqlen=s)

@@ -1,0 +1,107 @@
+"""Ring attention over the sequence-parallel mesh axis.
+
+Counterpart of the reference's ring path
+(`/root/reference/hyvideo/modules/xdit_ring_atten.py:226-429`:
+``RingComm.send_recv`` KV rotation + ``update_out_and_lse`` merges). The
+TPU-native formulation: a ``shard_map`` island where each device holds its
+Q/K/V sequence shard, KV shards rotate around the ring with
+``lax.ppermute`` (riding ICI neighbor links), and partial attention
+results merge with streaming log-sum-exp — expressed as a ``lax.scan`` so
+XLA can overlap the permute with compute. Joint (text) KV, replicated on
+every device, is folded in as a final local chunk, mirroring the
+reference's last-step joint handling (`xdit_ring_atten.py:333-360`).
+
+The reference ships ring mainly as plumbing ("we only require a multi-gpu
+attention", `xdit_ring_atten.py:56`); Ulysses is the first-choice SP mode
+here too, but ring is the right tool when heads < devices.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+__all__ = ["ring_attention"]
+
+
+def _partial_attn(q, k, v, scale):
+    """Returns (out_unnormalized, lse) for one KV chunk.
+
+    q [B,H,Sq,D], k/v [B,H,Sk,D] -> out [B,H,Sq,D] (sum of exp-weighted v,
+    normalized by exp(lse)), lse [B,H,Sq]."""
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    m = jnp.max(logits, axis=-1)
+    p = jnp.exp(logits - m[..., None])
+    l = jnp.sum(p, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+    lse = m + jnp.log(l)
+    return out / l[..., None], lse
+
+
+def _merge(o1, lse1, o2, lse2):
+    """Merge two normalized partials via their log-sum-exps."""
+    m = jnp.maximum(lse1, lse2)
+    w1 = jnp.exp(lse1 - m)
+    w2 = jnp.exp(lse2 - m)
+    denom = w1 + w2
+    out = (o1 * (w1 / denom)[..., None] + o2 * (w2 / denom)[..., None])
+    return out, m + jnp.log(denom)
+
+
+def ring_attention(q, k, v, mesh: Mesh, *, axis: str = "sp",
+                   joint_k=None, joint_v=None, sm_scale=None):
+    """Sequence-sharded dense attention via KV ring rotation.
+
+    q/k/v: [B, S_local, H, D] token-sharded over ``axis``;
+    joint_k/joint_v: optional replicated [B, S_txt, H, D] text KV appended
+    for every query. Returns [B, S_local, H, D] with input sharding.
+    """
+    n = mesh.shape[axis]
+    d = q.shape[-1]
+    scale = sm_scale if sm_scale is not None else d ** -0.5
+
+    def inner(q, k, v, jk, jv):
+        qt = q.transpose(0, 2, 1, 3)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
+
+        out0, lse0 = _partial_attn(qt, kt, vt, scale)
+
+        def step(carry, _):
+            out, lse, kc, vc = carry
+            perm = [(i, (i + 1) % n) for i in range(n)]
+            kc = jax.lax.ppermute(kc, axis, perm)
+            vc = jax.lax.ppermute(vc, axis, perm)
+            o2, l2 = _partial_attn(qt, kc, vc, scale)
+            out, lse = _merge(out, lse, o2, l2)
+            return (out, lse, kc, vc), None
+
+        (out, lse, _, _), _ = jax.lax.scan(
+            step, (out0, lse0, kt, vt), None, length=n - 1)
+
+        if jk is not None:
+            o2, l2 = _partial_attn(qt, jk.transpose(0, 2, 1, 3),
+                                   jv.transpose(0, 2, 1, 3), scale)
+            out, lse = _merge(out, lse, o2, l2)
+        return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+    has_joint = joint_k is not None
+    specs = [P(None, axis, None, None)] * 3 + \
+        ([P(), P()] if has_joint else [None, None])
+    if not has_joint:
+        joint_k = joint_v = jnp.zeros((0,), q.dtype)
+        specs = [P(None, axis, None, None)] * 3 + [P(), P()]
+
+        def inner_nojoint(q, k, v, jk, jv):
+            return inner(q, k, v, None, None)
+        fn = jax.shard_map(inner_nojoint, mesh=mesh, in_specs=tuple(specs),
+                           out_specs=P(None, axis, None, None),
+                           check_vma=False)
+        return fn(q, k, v, joint_k, joint_v)
+
+    fn = jax.shard_map(inner, mesh=mesh, in_specs=tuple(specs),
+                       out_specs=P(None, axis, None, None),
+                       check_vma=False)
+    return fn(q, k, v, joint_k, joint_v)

@@ -105,7 +105,7 @@ class WanI2VPipeline(WanT2VPipeline):
         clip2 = jnp.stack([jnp.asarray(clip_fea)] * 2)
 
         def pad_ctx(x):
-            x = jnp.asarray(x)
+            x = jnp.asarray(x)[:cfg.text_len]
             return jnp.pad(x, ((0, cfg.text_len - x.shape[0]), (0, 0)))
         ctx2 = jnp.stack([pad_ctx(context), pad_ctx(context_null)])
 

@@ -178,7 +178,7 @@ class WanT2VPipeline:
 
         # padded text context batch [2, text_len, text_dim]
         def pad_ctx(x):
-            x = jnp.asarray(x)
+            x = jnp.asarray(x)[:cfg.text_len]
             pad = cfg.text_len - x.shape[0]
             return jnp.pad(x, ((0, pad), (0, 0)))
         ctx2 = jnp.stack([pad_ctx(context), pad_ctx(context_null)])

@@ -1,0 +1,31 @@
+"""CLI smoke tests (tiny models, CPU backend)."""
+
+import os
+import subprocess
+import sys
+
+
+def _run(args):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.run(
+        [sys.executable, "-m", "jenga_tpu.cli", *args],
+        capture_output=True, text=True, env=env, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_wan_t2v_tiny(tmp_path):
+    out = str(tmp_path / "v.npy")
+    r = _run(["wan-t2v", "--tiny", "--cpu", "--video-size", "96", "64",
+              "--video-length", "9", "--infer-steps", "2",
+              "--latents-only", "--save-path", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
+
+
+def test_hyvideo_t2v_tiny(tmp_path):
+    out = str(tmp_path / "v.npy")
+    r = _run(["hyvideo-t2v", "--tiny", "--cpu", "--preset", "base",
+              "--video-size", "96", "64", "--video-length", "5",
+              "--infer-steps", "2", "--latents-only", "--save-path", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
