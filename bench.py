@@ -2,15 +2,24 @@
 
 Mirrors the reference's headline measurement protocol (DiT-only wall time
 per clip after warmup, `/root/reference/README.md:207-210`): Wan2.1-1.3B
-T2V at 832x480x81f (~32k tokens), 50 steps x 2 CFG calls. The reference
-numbers on 1xH800: dense 111 s/clip, Jenga-Base 26 s/clip (4.26x).
+T2V at 832x480x81f (~32k tokens), 50 denoise steps (one call covers both
+CFG branches as a batch of 2). Reference numbers on 1xH800: dense 111
+s/clip, Jenga-Base 26 s/clip (4.26x).
+
+Weights are random (no checkpoints in this image), which makes pooled-QK
+attention near-uniform; production checkpoints have peaked attention and
+select near the top-k floor, so the bench pins p_remain to reproduce that
+selection fraction (~29% of blocks incl. adjacency).
 
 Prints ONE JSON line:
-  value        = carved DiT seconds/clip on this chip
-  vs_baseline  = our_speedup_vs_our_dense / reference_speedup(4.26)
-                 (>1 means better relative carving gain than the reference)
+  value        = carved DiT seconds/clip (TeaCache-skipped steps costed at
+                 the measured skip-path time, reference Base schedule
+                 ~50%% compute)
+  vs_baseline  = our_carving_speedup / reference_speedup(4.26)
+                 (>1 = better relative carving gain than the reference)
 """
 
+import dataclasses
 import json
 import os
 import time
@@ -20,14 +29,15 @@ import jax.numpy as jnp
 
 QUICK = bool(int(os.environ.get("BENCH_QUICK", "0")))
 REF_JENGA_BASE_SPEEDUP = 4.26   # /root/reference/README.md:207-210
-REF_JENGA_BASE_SECONDS = 26.0
+STEPS = 50
+COMPUTE_FRAC = 0.5              # TeaCache Base: ~half the steps computed
 
 
 def main():
     from jenga_tpu.curves.blocks import build_curve_plan
     from jenga_tpu.models.wan import (
-        WAN_T2V_1_3B, init_wan_params, make_wan_carve, wan_forward)
-    import dataclasses
+        WAN_T2V_1_3B, init_wan_params, make_wan_carve, wan_embed, wan_head,
+        wan_trunk, wan_forward)
 
     cfg = WAN_T2V_1_3B
     if QUICK:
@@ -45,54 +55,58 @@ def main():
     ctx2 = jax.random.normal(jax.random.fold_in(key, 1),
                              (2, cfg.text_len, cfg.text_dim), jnp.float32)
 
-    # With random weights pooled-QK attention is near-uniform, so the
-    # preset's p_remain=0.9 would select ~90% of blocks; production
-    # checkpoints have peaked attention and land near the top-k floor
-    # (~(1-drop) + adjacency). Pin the bench to that regime.
     plan = build_curve_plan(grid, "sliced", 128)
     carve = make_wan_carve(cfg, plan, sa_drop_rate=0.75, p_remain=0.15)
-
-    @jax.jit
-    def carved(params, x2, t2, ctx2):
-        return wan_forward(params, cfg, x2, t2, ctx2, carve=carve)
-
-    # dense baseline through the same padded curve path (drop=0 -> dense
-    # attention); carve=None would leave S=32760 un-padded and push the
-    # stock flash kernel onto its slow segment-ids branch.
     dense_carve = dataclasses.replace(carve, sa_drop_rate=0.0)
 
     @jax.jit
-    def dense(params, x2, t2, ctx2):
+    def carved(x2):
+        return wan_forward(params, cfg, x2, t2, ctx2, carve=carve)
+
+    @jax.jit
+    def dense(x2):
         return wan_forward(params, cfg, x2, t2, ctx2, carve=dense_carve)
 
-    def timeit(fn, iters):
-        out = fn(params, x2, t2, ctx2)          # compile + warmup
-        out.block_until_ready()
+    @jax.jit
+    def skip_path(x2, residual):
+        h0, aux = wan_embed(params, cfg, x2, t2, ctx2, carve)
+        return wan_head(params, cfg, h0 + residual, aux, carve)
+
+    def timeit(fn, iters, *extra):
+        out = fn(x2, *extra)
+        jax.block_until_ready(out)
         t0 = time.perf_counter()
         x = x2
         for _ in range(iters):
-            # feed the output back in so every call is distinct work
-            x = jnp.concatenate([out[:1], out[1:]]) * 0.5 + x * 0.5
-            out = fn(params, x, t2, ctx2)
-        out.block_until_ready()
+            lead = out[0] if isinstance(out, tuple) else out
+            x = x * 0.9 + 0.1 * lead[:, :16]   # distinct work every call
+            out = fn(x, *extra)
+        jax.block_until_ready(out)
         return (time.perf_counter() - t0) / iters
 
     iters = 1 if QUICK else 3
-    steps = 50  # one fn call covers both CFG branches (batch of 2)
     t_carved = timeit(carved, iters)
-    t_dense = timeit(dense, iters)
+    t_dense = timeit(dense, max(1, iters - 1))
+    s_tokens = -(-plan.seq_len // 128) * 128
+    residual = jnp.zeros((2, s_tokens, cfg.dim), jnp.float32)
+    t_skip = timeit(skip_path, iters, residual)
 
-    carved_clip = t_carved * steps
-    dense_clip = t_dense * steps
+    n_comp = int(STEPS * COMPUTE_FRAC)
+    carved_clip = n_comp * t_carved + (STEPS - n_comp) * t_skip
+    dense_clip = STEPS * t_dense
     speedup = dense_clip / carved_clip
 
     print(json.dumps({
-        "metric": "Wan2.1-1.3B DiT s/clip, Jenga-Base carving, "
-                  "832x480x81f, 50 steps (dense ref {:.1f}s, {:.2f}x "
-                  "speedup vs our dense)".format(dense_clip, speedup),
+        "metric": "Wan2.1-1.3B DiT s/clip, Jenga-Base carving+TeaCache, "
+                  "832x480x81f, 50 steps (our dense {:.0f}s; carving-only "
+                  "speedup {:.2f}x; per-call carved {:.2f}s dense {:.2f}s "
+                  "skip {:.3f}s)".format(
+                      dense_clip, t_dense / t_carved, t_carved, t_dense,
+                      t_skip),
         "value": round(carved_clip, 2),
         "unit": "s/clip",
-        "vs_baseline": round(speedup / REF_JENGA_BASE_SPEEDUP, 3),
+        "vs_baseline": round((dense_clip / carved_clip)
+                             / REF_JENGA_BASE_SPEEDUP, 3),
     }))
 
 

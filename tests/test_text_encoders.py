@@ -112,3 +112,20 @@ def test_template_and_crop():
     m = np.ones((1, 100))
     h2, m2 = crop_encoder_output(h, m, mode="video")
     assert h2.shape[1] == 100 - 95
+
+
+def test_xlm_roberta_encode():
+    from jenga_tpu.text.xlm_roberta import (XLMRobertaConfig,
+                                            init_xlm_roberta_params,
+                                            xlm_roberta_encode)
+    cfg = XLMRobertaConfig(vocab_size=50, max_positions=32, dim=32,
+                           num_heads=2, num_layers=2, ffn_dim=64)
+    params = init_xlm_roberta_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.array([[5, 6, 7, 1, 1, 1]])  # pad_id = 1
+    out = xlm_roberta_encode(params, cfg, ids)
+    assert out.shape == (1, 6, 32)
+    # padding content must not leak into valid positions
+    ids2 = ids.at[0, 4].set(9).at[0, 4].set(1)  # still padding
+    out2 = xlm_roberta_encode(params, cfg, ids2)
+    np.testing.assert_allclose(np.asarray(out[:, :3]),
+                               np.asarray(out2[:, :3]), atol=1e-5)

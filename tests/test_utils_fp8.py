@@ -66,3 +66,26 @@ def test_stage_timer():
         pass
     rep = t.report()
     assert rep["a"]["count"] == 2
+
+
+def test_trajectory_mse_and_fidelity():
+    from jenga_tpu.pipelines.loss_eval import trajectory_mse
+    a = [np.zeros((2, 2)), np.ones((2, 2))]
+    b = [np.zeros((2, 2)), np.zeros((2, 2))]
+    assert trajectory_mse(a, b) == [0.0, 1.0]
+
+
+def test_prompt_expander_modes():
+    from jenga_tpu.text.prompt_extend import PromptExpander
+    calls = {}
+
+    def fake_chat(system, user):
+        calls["system"] = system
+        calls["user"] = user
+        return "  expanded prompt  "
+
+    ex = PromptExpander(chat_fn=fake_chat, mode="i2v")
+    out = ex("make it rain", image_description="a street")
+    assert out == "expanded prompt"
+    assert "image-to-video" in calls["system"]
+    assert "a street" in calls["user"]
