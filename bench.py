@@ -11,6 +11,10 @@ attention near-uniform; production checkpoints have peaked attention and
 select near the top-k floor, so the bench pins p_remain to reproduce that
 selection fraction (~29% of blocks incl. adjacency).
 
+Before timing, the block-sparse Pallas kernel is numerics-checked on the
+chip against the dense jnp reference at a production shape; the max error
+is reported as ``kernel_max_err`` in the JSON line.
+
 Prints ONE JSON line:
   value        = carved DiT seconds/clip (TeaCache-skipped steps costed at
                  the measured skip-path time, reference Base schedule
@@ -26,11 +30,37 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 QUICK = bool(int(os.environ.get("BENCH_QUICK", "0")))
 REF_JENGA_BASE_SPEEDUP = 4.26   # /root/reference/README.md:207-210
 STEPS = 50
 COMPUTE_FRAC = 0.5              # TeaCache Base: ~half the steps computed
+
+
+def kernel_numerics_check():
+    """Run the Pallas block-sparse kernel on the chip against the dense
+    masked reference at one production-like shape (head_dim 128); returns
+    the max abs error. Catches Mosaic compile / numerics regressions before
+    any timing happens."""
+    from jenga_tpu.ops.attention_ref import block_sparse_attention_reference
+    from jenga_tpu.ops.block_sparse_attention import block_sparse_attention
+    from jenga_tpu.sparse.planner import mask_to_block_lists, \
+        pack_block_lists
+
+    key = jax.random.PRNGKey(7)
+    b, h, s, d = 1, 2, 2048, 128
+    nb = s // 128
+    kq, kk, kv, km = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (b, h, s, d), jnp.float32)
+    k = jax.random.normal(kk, (b, h, s, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, s, d), jnp.float32)
+    mask = jax.random.uniform(km, (b, h, nb, nb)) < 0.4
+    mask = mask.at[:, :, jnp.arange(nb), jnp.arange(nb)].set(True)
+    lists = pack_block_lists(*mask_to_block_lists(mask))
+    out = block_sparse_attention(q, k, v, lists)
+    ref = block_sparse_attention_reference(q, k, v, mask)
+    return float(jnp.max(jnp.abs(out - ref))), out.dtype
 
 
 def main():
@@ -42,6 +72,11 @@ def main():
     cfg = WAN_T2V_1_3B
     if QUICK:
         cfg = dataclasses.replace(cfg, num_layers=4)
+
+    kerr = -1.0
+    if jax.default_backend() != "cpu":
+        kerr, _ = kernel_numerics_check()
+        assert kerr < 5e-2, f"kernel numerics check failed: {kerr}"
 
     # 832x480x81f -> latents (16, 21, 60, 104) -> token grid (21, 30, 52)
     lat_f, lat_h, lat_w = 21, 60, 104
@@ -59,28 +94,30 @@ def main():
     carve = make_wan_carve(cfg, plan, sa_drop_rate=0.75, p_remain=0.15)
     dense_carve = dataclasses.replace(carve, sa_drop_rate=0.0)
 
+    # params passed explicitly: closing over the 1.3B tree would capture
+    # ~2.9GB of compile-time constants and blow up lowering.
     @jax.jit
-    def carved(x2):
+    def carved(params, x2):
         return wan_forward(params, cfg, x2, t2, ctx2, carve=carve)
 
     @jax.jit
-    def dense(x2):
+    def dense(params, x2):
         return wan_forward(params, cfg, x2, t2, ctx2, carve=dense_carve)
 
     @jax.jit
-    def skip_path(x2, residual):
+    def skip_path(params, x2, residual):
         h0, aux = wan_embed(params, cfg, x2, t2, ctx2, carve)
         return wan_head(params, cfg, h0 + residual, aux, carve)
 
     def timeit(fn, iters, *extra):
-        out = fn(x2, *extra)
+        out = fn(params, x2, *extra)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         x = x2
         for _ in range(iters):
             lead = out[0] if isinstance(out, tuple) else out
             x = x * 0.9 + 0.1 * lead[:, :16]   # distinct work every call
-            out = fn(x, *extra)
+            out = fn(params, x, *extra)
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / iters
 
@@ -105,6 +142,7 @@ def main():
                       t_skip),
         "value": round(carved_clip, 2),
         "unit": "s/clip",
+        "kernel_max_err": round(kerr, 5),
         "vs_baseline": round((dense_clip / carved_clip)
                              / REF_JENGA_BASE_SPEEDUP, 3),
     }))

@@ -1,0 +1,131 @@
+"""Multi-chip dryrun worker: runs in a subprocess on a virtual CPU mesh.
+
+``__graft_entry__.dryrun_multichip`` re-execs this module so the backend is
+guaranteed to be N host-CPU devices: this environment's sitecustomize
+force-registers a remote TPU PJRT plugin and overrides ``JAX_PLATFORMS``,
+so the config must be reset in-process *before* any backend initializes
+(same trick as tests/conftest.py).
+
+Covers both flagship multi-chip paths:
+  * Wan2.1: full carved CFG denoise step (forward + guidance + first-order
+    flow update) with Ulysses sequence parallelism and FSDP-sharded params;
+  * HunyuanVideo: carved MMDiT forward with trailing text blocks and a
+    nonzero text-amplitude bias — the joint-text Ulysses path
+    (reference semantics
+    `/root/reference/hyvideo/modules/xdit_ring_atten.py:133-177`).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("XLA_FLAGS", "")
+_N = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += f" --xla_force_host_platform_device_count={_N}"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import dataclasses  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def wan_step(n_devices: int) -> None:
+    """Carved CFG denoise step over an n-device mesh: Ulysses in every
+    self-attention, FSDP-style parameter sharding."""
+    from jenga_tpu.curves.blocks import build_curve_plan
+    from jenga_tpu.diffusion.unipc import unipc_schedule
+    from jenga_tpu.models.wan import (
+        WanConfig, init_wan_params, make_wan_carve, wan_forward)
+    from jenga_tpu.parallel.mesh import (
+        make_sp_mesh, replicate, shard_params_fsdp)
+
+    mesh = make_sp_mesh(jax.devices()[:n_devices])
+
+    # tiny model: head count divides the mesh, head_dim 128 (production)
+    cfg = WanConfig(dim=128 * n_devices, ffn_dim=256 * n_devices,
+                    freq_dim=32, num_heads=n_devices, num_layers=2,
+                    text_dim=64, text_len=16, dtype="float32")
+    params = init_wan_params(jax.random.PRNGKey(0), cfg)
+    params = shard_params_fsdp(params, mesh)
+
+    grid = (2, 8, 16)  # 256 tokens = 2 blocks, divisible by the mesh
+    latent = jnp.zeros((1, cfg.in_dim, 2, 16, 32), jnp.float32)
+    ctx2 = jnp.zeros((2, cfg.text_len, cfg.text_dim), jnp.float32)
+    plan = build_curve_plan(grid, "sliced", 128)
+    carve = make_wan_carve(cfg, plan, sa_drop_rate=0.5, p_remain=0.9)
+    schedule = unipc_schedule(10, shift=5.0)
+    sigma0, sigma1 = float(schedule.sigmas[0]), float(schedule.sigmas[1])
+    t = jnp.full((2,), schedule.timestep(0), jnp.float32)
+
+    @jax.jit
+    def denoise_step(params, latent, ctx2):
+        x2 = jnp.concatenate([latent, latent])
+        v2 = wan_forward(params, cfg, x2, t, ctx2, carve=carve, mesh=mesh)
+        v = v2[1:2] + 5.0 * (v2[0:1] - v2[1:2])
+        # first-order (Euler-equivalent) flow update
+        x0 = latent - sigma0 * v
+        return (1.0 - sigma1) * x0 + sigma1 * (latent - (1 - sigma0) * v) \
+            / max(sigma0, 1e-6)
+
+    out = denoise_step(params, replicate(latent, mesh),
+                       replicate(ctx2, mesh))
+    out.block_until_ready()
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def hyvideo_step(n_devices: int) -> None:
+    """Carved HY MMDiT forward over the mesh with joint text blocks and a
+    nonzero text-amp bias (the path that was dead code in round 1)."""
+    from jenga_tpu.curves.blocks import build_curve_plan
+    from jenga_tpu.models.hyvideo import (
+        HYVideoConfig, init_hyvideo_params, make_hy_carve, hyvideo_forward)
+    from jenga_tpu.parallel.mesh import make_sp_mesh, replicate, \
+        shard_params_fsdp
+
+    mesh = make_sp_mesh(jax.devices()[:n_devices])
+    cfg = HYVideoConfig(hidden_size=128 * n_devices,
+                        heads_num=n_devices, double_blocks=1,
+                        single_blocks=1, text_states_dim=128,
+                        text_states_dim_2=32, dtype="float32")
+    params = init_hyvideo_params(jax.random.PRNGKey(1), cfg)
+    params = shard_params_fsdp(params, mesh)
+
+    grid = (4, 8, 12)  # 384 img tokens = 3 blocks
+    txt_len = 256      # 2 trailing text blocks -> 640 total, /8 devices
+    plan = build_curve_plan(grid, "gilbert", 128)
+    carve = make_hy_carve(cfg, plan, sa_drop_rate=0.6, p_remain=0.5,
+                          text_amp=0.5, txt_block_num=2)
+
+    x = jnp.zeros((1, cfg.in_channels, 4, 16, 24), jnp.float32)
+    t = jnp.array([500.0], jnp.float32)
+    txt = jnp.zeros((1, txt_len, cfg.text_states_dim), jnp.float32)
+    tmask = jnp.ones((1, txt_len), jnp.int32)
+    txt2 = jnp.zeros((1, cfg.text_states_dim_2), jnp.float32)
+
+    @jax.jit
+    def fwd(params, x, txt, tmask, txt2):
+        return hyvideo_forward(params, cfg, x, t, txt, tmask, txt2,
+                               carve=carve, mesh=mesh)
+
+    out = fwd(params, replicate(x, mesh), replicate(txt, mesh),
+              replicate(tmask, mesh), replicate(txt2, mesh))
+    out.block_until_ready()
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def main() -> None:
+    n = _N
+    assert len(jax.devices()) >= n and jax.devices()[0].platform == "cpu", \
+        f"expected {n} CPU devices, got {jax.devices()}"
+    wan_step(n)
+    hyvideo_step(n)
+    print("dryrun ok")
+
+
+if __name__ == "__main__":
+    main()

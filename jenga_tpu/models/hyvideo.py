@@ -327,8 +327,10 @@ def _joint_attention(q, k, v, cfg: HYVideoConfig, carve: HYCarve | None,
         top_k = int((1.0 - carve.sa_drop_rate) * (img_len // 128))
 
     if mesh is not None:
+        # RoPE is already applied (HY rotates img q/k pre-concat), so no
+        # tables are passed into the Ulysses island.
         out = ulysses_self_attention(
-            q, k, v, None, None, mesh, sparse=True, rope=False,
+            q, k, v, None, None, mesh, sparse=True,
             block_neighbors=jnp.asarray(carve.block_neighbors),
             top_k=top_k, p_remain=carve.p_remain, seqlen=seqlen,
             text_start_block=tsb, text_blocks=carve.txt_block_num,

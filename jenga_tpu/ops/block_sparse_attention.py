@@ -213,6 +213,21 @@ def block_sparse_attention(
                          f"{s=} {skv=}")
     if sm_scale is None:
         sm_scale = d ** -0.5
+    if d % 128:
+        # Mosaic tiles the minor dimension in 128 lanes; smaller head dims
+        # (the reference Triton kernel supports {16,32,64,128},
+        # `/root/reference/hyvideo/modules/attention_block_triton_diffres.py:
+        # 160-196`) are zero-padded to 128. Zero q/k pad lanes leave the
+        # logits unchanged; zero v pad lanes are sliced off the output.
+        # sm_scale above is already fixed from the true head dim.
+        d_pad = -(-d // 128) * 128 - d
+        padcfg = ((0, 0), (0, 0), (0, 0), (0, d_pad))
+        out = block_sparse_attention(
+            jnp.pad(q, padcfg), jnp.pad(k, padcfg), jnp.pad(v, padcfg),
+            block_lists, sm_scale=sm_scale, text_amp=text_amp,
+            text_start_block=text_start_block, seqlen=seqlen,
+            block_n=block_n, group=group, interpret=interpret)
+        return out[..., :d]
     if seqlen is None:
         seqlen = skv
     nqb = s // block_m

@@ -35,7 +35,9 @@ __all__ = ["ulysses_self_attention"]
 
 def ulysses_self_attention(
     q, k, v,                    # [B, S_local, H, hd] token-sharded
-    rope_cos, rope_sin,         # [S_global, hd//2] full-sequence tables
+    rope_cos, rope_sin,         # [S_global, hd//2] full-sequence tables,
+                                # or None when RoPE was already applied
+                                # outside (HY applies it pre-concat)
     mesh: Mesh,
     *,
     axis: str = "sp",
@@ -68,8 +70,9 @@ def ulysses_self_attention(
                                       tiled=True)
 
         q_, k_, v_ = a2a_fwd(q), a2a_fwd(k), a2a_fwd(v)
-        q_ = apply_rope(q_, rope_cos, rope_sin)
-        k_ = apply_rope(k_, rope_cos, rope_sin)
+        if rope_cos is not None:
+            q_ = apply_rope(q_, rope_cos, rope_sin)
+            k_ = apply_rope(k_, rope_cos, rope_sin)
 
         qt = q_.transpose(0, 2, 1, 3)  # [B, H/sp, S, hd]
         kt = k_.transpose(0, 2, 1, 3)

@@ -161,9 +161,11 @@ class HYVideoI2VPipeline(HYVideoT2VPipeline):
             x = jnp.concatenate([inp] * batch) if batch > 1 else inp
 
             if not compute[i] and residual is not None:
-                v = skipped(x, t, txt, mask, txt2, guidance, residual)
+                v = skipped(self.params, x, t, txt, mask, txt2, guidance,
+                            residual)
             else:
-                v, residual = full(x, t, txt, mask, txt2, guidance)
+                v, residual = full(self.params, x, t, txt, mask, txt2,
+                                   guidance)
             if cfg_on:
                 v = v[0:1] + opts.guidance_scale * (v[1:2] - v[0:1])
 

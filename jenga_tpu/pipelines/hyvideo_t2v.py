@@ -84,10 +84,12 @@ class HYVideoT2VPipeline:
         return shapes
 
     def _stage_fns(self, carve, batch: int):
-        cfg, params = self.cfg, self.params
+        # params is an explicit argument (closing over the tree would bake
+        # multi-GB of weights into the HLO as constants).
+        cfg = self.cfg
 
         @jax.jit
-        def full(x, t, txt, mask, txt2, guidance):
+        def full(params, x, t, txt, mask, txt2, guidance):
             img, txth, aux = hy.hyvideo_embed(params, cfg, x, t, txt, mask,
                                               txt2, carve, guidance)
             img2 = hy.hyvideo_trunk(params, cfg, img, txth, aux, carve)
@@ -95,7 +97,7 @@ class HYVideoT2VPipeline:
             return v, img2 - img
 
         @jax.jit
-        def skipped(x, t, txt, mask, txt2, guidance, residual):
+        def skipped(params, x, t, txt, mask, txt2, guidance, residual):
             img, txth, aux = hy.hyvideo_embed(params, cfg, x, t, txt, mask,
                                               txt2, carve, guidance)
             return hy.hyvideo_head(params, cfg, img + residual, aux, carve)
@@ -177,9 +179,11 @@ class HYVideoT2VPipeline:
                  if batch > 1 else latents)
 
             if not compute[i] and residual is not None:
-                v = skipped(x, t, txt, mask, txt2, guidance, residual)
+                v = skipped(self.params, x, t, txt, mask, txt2, guidance,
+                            residual)
             else:
-                v, residual = full(x, t, txt, mask, txt2, guidance)
+                v, residual = full(self.params, x, t, txt, mask, txt2,
+                                   guidance)
 
             if cfg_on:
                 v = v[0:1] + opts.guidance_scale * (v[1:2] - v[0:1])

@@ -63,10 +63,12 @@ class WanI2VPipeline(WanT2VPipeline):
     """I2V sampler around a Wan i2v DiT (model_type='i2v', in_dim 36)."""
 
     def _stage_fns_i2v(self, carve):
-        cfg, params = self.cfg, self.params
+        # params is an explicit argument (closing over the tree would bake
+        # multi-GB of weights into the HLO as constants).
+        cfg = self.cfg
 
         @jax.jit
-        def full(x2, t2, ctx2, y2, clip2, top_k):
+        def full(params, x2, t2, ctx2, y2, clip2, top_k):
             h0, aux = wan_lib.wan_embed(params, cfg, x2, t2, ctx2, carve,
                                         clip_fea=clip2, y=y2)
             h1 = wan_lib.wan_trunk(params, cfg, h0, aux, carve, top_k)
@@ -74,7 +76,7 @@ class WanI2VPipeline(WanT2VPipeline):
             return v, h1 - h0
 
         @jax.jit
-        def full_dense(x2, t2, ctx2, y2, clip2):
+        def full_dense(params, x2, t2, ctx2, y2, clip2):
             dc = dataclasses.replace(carve, sa_drop_rate=0.0)
             h0, aux = wan_lib.wan_embed(params, cfg, x2, t2, ctx2, dc,
                                         clip_fea=clip2, y=y2)
@@ -83,7 +85,7 @@ class WanI2VPipeline(WanT2VPipeline):
             return v, h1 - h0
 
         @jax.jit
-        def skipped(x2, t2, ctx2, y2, clip2, residual):
+        def skipped(params, x2, t2, ctx2, y2, clip2, residual):
             h0, aux = wan_lib.wan_embed(params, cfg, x2, t2, ctx2, carve,
                                         clip_fea=clip2, y=y2)
             return wan_lib.wan_head(params, cfg, h0 + residual, aux, carve)
@@ -136,12 +138,14 @@ class WanI2VPipeline(WanT2VPipeline):
             x2 = jnp.concatenate([latents, latents]).astype(jnp.float32)
 
             if not compute[idx] and residual is not None:
-                v2 = skipped(x2, t2, ctx2, y2, clip2, residual)
+                v2 = skipped(self.params, x2, t2, ctx2, y2, clip2, residual)
             elif drop <= 0.25:
-                v2, residual = full_dense(x2, t2, ctx2, y2, clip2)
+                v2, residual = full_dense(self.params, x2, t2, ctx2, y2,
+                                          clip2)
             else:
                 top_k = jnp.int32(max(int(nb * (1.0 - drop)), 1))
-                v2, residual = full(x2, t2, ctx2, y2, clip2, top_k)
+                v2, residual = full(self.params, x2, t2, ctx2, y2, clip2,
+                                    top_k)
 
             v = v2[1:2] + opts.guide_scale * (v2[0:1] - v2[1:2])
             state, latents = unipc_step(schedule, state, v, latents)

@@ -90,18 +90,23 @@ class WanT2VPipeline:
         return (f // pt, h // ph, w // pw)
 
     def _stage_fns(self, carve):
-        """Three jitted specializations for one stage."""
-        cfg, params = self.cfg, self.params
+        """Three jitted specializations for one stage.
+
+        ``params`` is an explicit argument (never a closure): closing over
+        the tree would capture multi-GB of weights as compile-time
+        constants and blow up lowering at 1.3B/14B scale.
+        """
+        cfg = self.cfg
 
         @jax.jit
-        def full(x2, t2, ctx2, top_k):
+        def full(params, x2, t2, ctx2, top_k):
             h0, aux = wan_lib.wan_embed(params, cfg, x2, t2, ctx2, carve)
             h1 = wan_lib.wan_trunk(params, cfg, h0, aux, carve, top_k)
             v = wan_lib.wan_head(params, cfg, h1, aux, carve)
             return v, h1 - h0
 
         @jax.jit
-        def full_dense(x2, t2, ctx2):
+        def full_dense(params, x2, t2, ctx2):
             dense_carve = dataclasses.replace(carve, sa_drop_rate=0.0)
             h0, aux = wan_lib.wan_embed(params, cfg, x2, t2, ctx2,
                                         dense_carve)
@@ -110,7 +115,7 @@ class WanT2VPipeline:
             return v, h1 - h0
 
         @jax.jit
-        def skipped(x2, t2, ctx2, residual):
+        def skipped(params, x2, t2, ctx2, residual):
             h0, aux = wan_lib.wan_embed(params, cfg, x2, t2, ctx2, carve)
             return wan_lib.wan_head(params, cfg, h0 + residual, aux, carve)
 
@@ -121,10 +126,9 @@ class WanT2VPipeline:
         """Precompute the per-step compute/skip schedule (see skip.py)."""
         if opts.teacache_thresh is None:
             return np.ones(len(timesteps), bool)
-        p = self.params
 
         @jax.jit
-        def embed_metric(ts):
+        def embed_metric(p, ts):
             temb = sinusoidal_embedding(self.cfg.freq_dim, ts,
                                         flip_sin_cos=True)
             e = linear(p["time_embedding"]["fc2"],
@@ -134,7 +138,10 @@ class WanT2VPipeline:
                 e = linear(p["time_projection"], silu(e))
             return e
 
-        embs = np.asarray(embed_metric(jnp.asarray(timesteps, jnp.float32)))
+        tp = {"time_embedding": self.params["time_embedding"],
+              "time_projection": self.params["time_projection"]}
+        embs = np.asarray(embed_metric(tp,
+                                       jnp.asarray(timesteps, jnp.float32)))
         metrics = np.zeros(len(timesteps))
         for i in range(1, len(timesteps)):
             prev, cur = embs[i - 1], embs[i]
@@ -231,13 +238,13 @@ class WanT2VPipeline:
 
             full, full_dense, skipped = fns
             if not compute[idx] and residual is not None:
-                v2 = skipped(x2, t2, ctx2, residual)
+                v2 = skipped(self.params, x2, t2, ctx2, residual)
             elif drop <= 0.25:
-                v2, residual = full_dense(x2, t2, ctx2)
+                v2, residual = full_dense(self.params, x2, t2, ctx2)
             else:
                 nb = -(-carve.seqlen // 128)
                 top_k = jnp.int32(max(int(nb * (1.0 - drop)), 1))
-                v2, residual = full(x2, t2, ctx2, top_k)
+                v2, residual = full(self.params, x2, t2, ctx2, top_k)
 
             v = v2[1:2] + opts.guide_scale * (v2[0:1] - v2[1:2])
 
