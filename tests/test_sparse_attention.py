@@ -180,3 +180,11 @@ class TestKernelVsReference:
                                                text_start_block=tsb)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
+
+    def test_head_dim_below_tile_padded(self):
+        """head_dims below the 128-lane tile (reference Triton supports
+        {16,32,64,128}) go through the zero-pad wrapper path."""
+        for d in (16, 32, 64):
+            out, ref = self._run(1, 2, 4, d, jnp.float32)
+            assert out.shape[-1] == d
+            np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)

@@ -65,3 +65,69 @@ def test_fsdp_sharding_spec(mesh):
     big_sharding = sharded["big"].sharding
     assert "sp" in str(big_sharding.spec)
     assert np.prod(sharded["small"].sharding.shard_shape((16,))) == 16
+
+
+def test_norope_joint_text_ulysses_matches_single_device(mesh):
+    """HY joint-text semantics under Ulysses: RoPE pre-applied outside
+    (tables=None), trailing text blocks forced on, nonzero text_amp bias
+    (reference `/root/reference/hyvideo/modules/xdit_ring_atten.py:133-177`)."""
+    b, s, h, d = 1, 8 * 128, 8, 32
+    text_blocks = 2
+    nkb = s // 128
+    tsb = nkb - text_blocks
+    q, k, v = _qkv(jax.random.PRNGKey(2), b, s, h, d)
+    top_k, p_remain, text_amp = 2, 0.4, 0.7
+    out_sp = ulysses_self_attention(
+        q, k, v, None, None, mesh, sparse=True, top_k=top_k,
+        p_remain=p_remain, seqlen=s, text_start_block=tsb,
+        text_blocks=text_blocks, text_amp=text_amp)
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    mask = build_block_mask(qt[:, :, :tsb * 128], kt, top_k=top_k,
+                            p_remain=p_remain, text_start_block=tsb,
+                            text_blocks=text_blocks, block_neighbors=None)
+    full = jnp.ones((b, h, nkb - tsb, nkb), bool)
+    mask = jnp.concatenate([mask, full], axis=2)
+    ref = block_sparse_attention_reference(
+        qt, kt, vt, mask, text_amp=text_amp, text_start_block=tsb)
+    np.testing.assert_allclose(np.asarray(out_sp),
+                               np.asarray(ref.transpose(0, 2, 1, 3)),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_hyvideo_forward_mesh_joint_text():
+    """hyvideo_forward(mesh=...) with text blocks + text_amp matches the
+    single-device forward (the round-1 TypeError regression)."""
+    from jenga_tpu.curves.blocks import build_curve_plan
+    from jenga_tpu.models.hyvideo import (
+        HYVideoConfig, init_hyvideo_params, make_hy_carve, hyvideo_forward)
+
+    mesh = make_sp_mesh()
+    n_dev = 8
+    cfg = HYVideoConfig(hidden_size=32 * n_dev, heads_num=n_dev,
+                        double_blocks=1, single_blocks=1,
+                        text_states_dim=64, text_states_dim_2=16,
+                        rope_dim_list=(8, 12, 12), dtype="float32")
+    params = init_hyvideo_params(jax.random.PRNGKey(3), cfg)
+    grid = (4, 8, 12)   # 384 img tokens
+    txt_len = 256       # 2 trailing text blocks -> 640 total, /8 devices
+    plan = build_curve_plan(grid, "gilbert", 128)
+    carve = make_hy_carve(cfg, plan, sa_drop_rate=0.6, p_remain=0.5,
+                          text_amp=0.5, txt_block_num=2)
+    key = jax.random.PRNGKey(4)
+    x = jax.random.normal(key, (1, cfg.in_channels, 4, 16, 24), jnp.float32)
+    t = jnp.array([500.0], jnp.float32)
+    txt = jax.random.normal(jax.random.fold_in(key, 1),
+                            (1, txt_len, cfg.text_states_dim), jnp.float32)
+    tmask = jnp.ones((1, txt_len), jnp.int32)
+    txt2 = jax.random.normal(jax.random.fold_in(key, 2),
+                             (1, cfg.text_states_dim_2), jnp.float32)
+
+    out_mesh = hyvideo_forward(params, cfg, x, t, txt, tmask, txt2,
+                               carve=carve, mesh=mesh)
+    out_single = hyvideo_forward(params, cfg, x, t, txt, tmask, txt2,
+                                 carve=carve)
+    np.testing.assert_allclose(np.asarray(out_mesh), np.asarray(out_single),
+                               atol=3e-4, rtol=3e-4)
