@@ -119,26 +119,100 @@ def run_hyvideo_t2v(args):
     over["embedded_guidance_scale"] = args.embedded_cfg_scale
     opts = get_hy_preset(args.preset, **over)
 
+    sampler = _hy_sampler(args, i2v=False)
+    t0 = time.time()
+    if sampler.text_encoder is not None:
+        out = sampler.predict_prompt(prompt=args.prompt, opts=opts,
+                                     negative_prompt=args.neg_prompt,
+                                     decode=not args.latents_only)
+    else:
+        # no encoder checkpoints: zero embeddings (smoke mode)
+        txt, mask, txt2 = _zero_hy_text(sampler.cfg)
+        out = sampler.predict(txt, mask, txt2, opts,
+                              decode=not args.latents_only)
+    print(json.dumps({"gen_time_s": round(time.time() - t0, 2)}))
+    _save(args, out)
+
+
+def _hy_sampler(args, i2v: bool):
+    from .runtime import HunyuanVideoSampler
     if args.tiny:
         from .models.hyvideo import HYVideoConfig, init_hyvideo_params
         import jax as _jax
         cfg = HYVideoConfig(hidden_size=128, heads_num=2, double_blocks=1,
                             single_blocks=1, rope_dim_list=(16, 24, 24),
                             text_states_dim=64, text_states_dim_2=24,
-                            refiner_depth=1, dtype="float32")
-        sampler = HunyuanVideoSampler(
-            cfg, init_hyvideo_params(_jax.random.PRNGKey(args.seed), cfg))
+                            refiner_depth=1, dtype="float32",
+                            i2v_condition_type=("token_replace" if i2v
+                                                else None))
+        return HunyuanVideoSampler(
+            cfg, init_hyvideo_params(_jax.random.PRNGKey(args.seed), cfg),
+            i2v=i2v)
+    return HunyuanVideoSampler.from_pretrained(
+        args.ckpt_dir, i2v=i2v, seed=args.seed,
+        use_fp8=getattr(args, "use_fp8", False),
+        lora_path=getattr(args, "lora_path", None))
+
+
+def _zero_hy_text(cfg, length=256):
+    import jax.numpy as jnp
+    return (jnp.zeros((length, cfg.text_states_dim)),
+            jnp.ones((length,), jnp.int32),
+            jnp.zeros((cfg.text_states_dim_2,)))
+
+
+def run_hyvideo_i2v(args):
+    _apply_backend(args)
+    import jax.numpy as jnp
+    import numpy as np
+    from .configs.presets import get_hy_preset
+    from .pipelines.hyvideo_i2v import HYI2VOptions
+
+    over = {"seed": args.seed,
+            "i2v_condition_type": args.i2v_condition_type,
+            "i2v_stability": args.i2v_stability}
+    if args.infer_steps:
+        over["num_inference_steps"] = args.infer_steps
+    if args.video_size:
+        over["size"] = tuple(args.video_size)
+    if args.video_length:
+        over["video_length"] = args.video_length
+    if args.sa_drop_rates:
+        over["sa_drop_rates"] = tuple(args.sa_drop_rates)
+    if args.p_remain_rates is not None:
+        over["p_remain"] = args.p_remain_rates
+    import dataclasses as _dc
+    base = get_hy_preset(args.preset)
+    i2v_fields = {f.name for f in _dc.fields(HYI2VOptions)}
+    merged = {f.name: getattr(base, f.name) for f in _dc.fields(base)
+              if f.name in i2v_fields}
+    merged.update(over)
+    opts = HYI2VOptions(**merged)
+
+    sampler = _hy_sampler(args, i2v=True)
+    shapes = sampler.pipeline._stage_shapes(opts)
+
+    if args.i2v_image_path:
+        from .runtime import load_image
+        image = load_image(args.i2v_image_path)
+        image_latents = [
+            np.asarray(sampler.encode_image_latent(image, g[1], g[2]))
+            for (_, g) in shapes]
     else:
-        sampler = HunyuanVideoSampler.from_pretrained(
-            args.ckpt_dir, seed=args.seed, use_fp8=args.use_fp8)
-    # Text encoding requires the HF encoder checkpoints; without them, use
-    # zero embeddings (smoke mode).
-    txt = jnp.zeros((256, sampler.cfg.text_states_dim))
-    mask = jnp.ones((256,), jnp.int32)
-    txt2 = jnp.zeros((sampler.cfg.text_states_dim_2,))
+        if not args.tiny:
+            raise SystemExit("hyvideo-i2v requires --i2v-image-path "
+                             "(or --tiny for a smoke run)")
+        image_latents = [np.zeros((16, 1, lat[1], lat[2]), np.float32)
+                         for (lat, _) in shapes]
+
+    if sampler.text_encoder is not None:
+        txt, mask, txt2 = sampler.encode_prompt(args.prompt, mode="image")
+    else:
+        txt, mask, txt2 = _zero_hy_text(sampler.cfg)
     t0 = time.time()
-    out = sampler.predict(txt, mask, txt2, opts,
-                          decode=not args.latents_only)
+    out = sampler.pipeline.generate_i2v(
+        image_latents, txt, mask, txt2, opts,
+        decode=not args.latents_only)
     print(json.dumps({"gen_time_s": round(time.time() - t0, 2)}))
     _save(args, out)
 
@@ -168,21 +242,78 @@ def run_wan_t2v(args):
         over["teacache_thresh"] = args.teacache_thresh
     opts = get_wan_preset(args.preset, **over)
 
+    sampler = _wan_sampler(args, i2v=False)
+    t0 = time.time()
+    if sampler.t5 is not None:
+        out = sampler.generate_prompt(args.prompt, opts,
+                                      negative_prompt=args.neg_prompt or "",
+                                      decode=not args.latents_only)
+    else:
+        ctx = jnp.zeros((64, sampler.cfg.text_dim))
+        out = sampler.generate(ctx, jnp.zeros_like(ctx), opts,
+                               decode=not args.latents_only)
+    print(json.dumps({"gen_time_s": round(time.time() - t0, 2)}))
+    _save(args, out)
+
+
+def _wan_sampler(args, i2v: bool):
+    from .runtime import WanSampler
     if args.tiny:
         from .models.wan import WanConfig, init_wan_params
         import jax as _jax
         cfg = WanConfig(dim=128, ffn_dim=256, freq_dim=32, num_heads=2,
                         num_layers=2, text_dim=64, text_len=16,
-                        dtype="float32")
-        sampler = WanSampler(cfg, init_wan_params(
+                        dtype="float32",
+                        model_type="i2v" if i2v else "t2v",
+                        in_dim=36 if i2v else 16)
+        return WanSampler(cfg, init_wan_params(
             _jax.random.PRNGKey(args.seed), cfg))
-    else:
-        sampler = WanSampler.from_pretrained(args.task, args.ckpt_dir,
-                                             seed=args.seed)
-    ctx = jnp.zeros((64, sampler.cfg.text_dim))
+    task = getattr(args, "task", "i2v-14B" if i2v else "t2v-1.3B")
+    if i2v:
+        task = "i2v-14B"
+    return WanSampler.from_pretrained(task, args.ckpt_dir, seed=args.seed)
+
+
+def run_wan_i2v(args):
+    _apply_backend(args)
+    import numpy as np
+    import jax.numpy as jnp
+    from .pipelines.wan_i2v import WanI2VOptions, i2v_latent_size
+
+    over = {"seed": args.seed, "max_area": args.max_area}
+    if args.infer_steps:
+        over["sampling_steps"] = args.infer_steps
+    if args.video_length:
+        over["frame_num"] = args.video_length
+    if args.sa_drop_rates:
+        over["sa_drop_rates"] = tuple(args.sa_drop_rates)
+    if args.p_remain_rates is not None:
+        over["p_remain"] = args.p_remain_rates
+    opts = WanI2VOptions(**over)
+
+    sampler = _wan_sampler(args, i2v=True)
     t0 = time.time()
-    out = sampler.generate(ctx, jnp.zeros_like(ctx), opts,
-                           decode=not args.latents_only)
+    if args.image and sampler.t5 is not None:
+        from .runtime import load_image
+        out = sampler.generate_image(load_image(args.image), args.prompt,
+                                     opts,
+                                     negative_prompt=args.neg_prompt or "",
+                                     decode=not args.latents_only)
+    else:
+        if not args.tiny:
+            raise SystemExit("wan-i2v requires --image and a ckpt dir with "
+                             "T5 + CLIP (or --tiny for a smoke run)")
+        # smoke: synthetic conditioning at a small latent size
+        lat_h, lat_w = 16, 16
+        frame_num = args.video_length or 9
+        img_lat = np.zeros((16, (frame_num - 1) // 4 + 1, lat_h, lat_w),
+                           np.float32)
+        clip_fea = np.zeros((257, 1280), np.float32)
+        ctx = jnp.zeros((64, sampler.cfg.text_dim))
+        opts = WanI2VOptions(**{**over, "frame_num": frame_num})
+        out = sampler.pipeline.generate_i2v(
+            img_lat, clip_fea, ctx, jnp.zeros_like(ctx), frame_num,
+            lat_h, lat_w, opts, decode=not args.latents_only)
     print(json.dumps({"gen_time_s": round(time.time() - t0, 2)}))
     _save(args, out)
 
@@ -191,12 +322,12 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.cmd == "hyvideo-t2v":
         run_hyvideo_t2v(args)
+    elif args.cmd == "hyvideo-i2v":
+        run_hyvideo_i2v(args)
     elif args.cmd == "wan-t2v":
         run_wan_t2v(args)
-    else:
-        raise SystemExit(
-            f"{args.cmd}: image inputs require encoder checkpoints; wire "
-            "through jenga_tpu.runtime directly (see pipelines tests).")
+    elif args.cmd == "wan-i2v":
+        run_wan_i2v(args)
 
 
 if __name__ == "__main__":

@@ -18,7 +18,9 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["load_torch_state_dict", "convert_wan_dit", "convert_hyvideo_dit",
-           "convert_hyvae", "convert_wanvae", "save_params", "load_params"]
+           "convert_hyvae", "convert_wanvae", "save_params", "load_params",
+           "load_safetensors_state_dict", "load_fp8_state_dict",
+           "merge_lora"]
 
 
 def _np(t):
@@ -373,3 +375,134 @@ def convert_wanvae(sd: dict, cfg, dtype=np.float32) -> dict:
 
     return {"encoder": enc, "decoder": dec,
             "conv1": c3("conv1"), "conv2": c3("conv2")}
+
+
+def load_safetensors_state_dict(path: str) -> dict:
+    """Load a safetensors checkpoint: a single ``.safetensors`` file, a
+    directory containing one, or a sharded set with a
+    ``*.safetensors.index.json`` (how Wan 14B ships its DiT,
+    `/root/reference/wan/text2video.py:85` via diffusers ``from_pretrained``).
+    Returns numpy arrays (fp8 tensors come back as uint8 views plus their
+    dtype tag handled by the caller)."""
+    import json
+    import os as _os
+    from safetensors import safe_open
+
+    def read_file(fp):
+        out = {}
+        with safe_open(fp, framework="np") as f:
+            for k in f.keys():
+                out[k] = f.get_tensor(k)
+        return out
+
+    if _os.path.isdir(path):
+        idx = [f for f in sorted(_os.listdir(path))
+               if f.endswith(".safetensors.index.json")]
+        if idx:
+            with open(_os.path.join(path, idx[0])) as f:
+                index = json.load(f)
+            shards = sorted(set(index["weight_map"].values()))
+            sd = {}
+            for s in shards:
+                sd.update(read_file(_os.path.join(path, s)))
+            return sd
+        files = [f for f in sorted(_os.listdir(path))
+                 if f.endswith(".safetensors")]
+        if not files:
+            raise FileNotFoundError(f"no .safetensors under {path}")
+        sd = {}
+        for s in files:
+            sd.update(read_file(_os.path.join(path, s)))
+        return sd
+    return read_file(path)
+
+
+def load_fp8_state_dict(dit_path: str) -> dict:
+    """Load a reference fp8 DiT checkpoint (``*_fp8.pt`` weights stored as
+    float8_e4m3fn + ``*_fp8_map.pt`` per-layer scales,
+    `/root/reference/hyvideo/modules/fp8_optimization.py:82-102`) and
+    dequantize to f32 numpy so the normal converters apply."""
+    import os as _os
+    import torch
+    map_path = dit_path.replace(".pt", "_map.pt")
+    if not _os.path.exists(map_path):
+        raise FileNotFoundError(f"fp8 scale map not found: {map_path}")
+    sd = load_torch_state_dict(dit_path)
+    fp8_map = torch.load(map_path, map_location="cpu", weights_only=True)
+    out = {}
+    for k, v in sd.items():
+        if isinstance(v, torch.Tensor) and v.dtype == torch.float8_e4m3fn:
+            mkey = k[:-len(".weight")] if k.endswith(".weight") else k
+            scale = fp8_map[mkey].to(torch.float32)
+            out[k] = (v.to(torch.float32) * scale)
+        else:
+            out[k] = v
+    return out
+
+
+def _kohya_to_module_key(key: str, prefix: str) -> str:
+    """kohya LoRA key -> reference module path (the inverse mapping of
+    `/root/reference/hyvideo_i2v/utils/train_utils.py:24-55`), e.g.
+    ``<pre>_lora_double_blocks_0_img_attn_qkv`` ->
+    ``double_blocks.0.img_attn_qkv``."""
+    name = key.split(".")[0]
+    if prefix and name.startswith(prefix + "_lora_"):
+        name = name[len(prefix) + 6:]
+    elif name.startswith("lora_"):
+        name = name[5:]
+    for pat, rep in (
+        ("single_blocks_", "single_blocks."),
+        ("double_blocks_", "double_blocks."),
+        ("_individual_token_refiner_blocks_",
+         ".individual_token_refiner.blocks."),
+        ("_img_attn_proj", ".img_attn_proj"),
+        ("_img_attn_qkv", ".img_attn_qkv"),
+        ("_img_mlp_fc", ".img_mlp.fc"),
+        ("_txt_mlp_fc", ".txt_mlp.fc"),
+        ("_img_mod", ".img_mod"),
+        ("_txt", ".txt"),
+        ("_modulation", ".modulation"),
+        ("_linear", ".linear"),
+        ("_mlp_fc", ".mlp.fc"),
+    ):
+        name = name.replace(pat, rep)
+    # remaining single-word underscore segments after a block index
+    # (e.g. ``0_self_attn_qkv``) become dots
+    parts = name.split(".")
+    fixed = []
+    for p in parts:
+        if "_" in p and p.split("_")[0].isdigit():
+            head, rest = p.split("_", 1)
+            fixed.extend([head, rest])
+        else:
+            fixed.append(p)
+    return ".".join(fixed)
+
+
+def merge_lora(sd: dict, lora, alpha: float = 1.0, prefix: str = "") -> dict:
+    """Merge a kohya-format LoRA into a torch state dict in place:
+    ``W += alpha/rank * up @ down`` per adapted linear (reference merge
+    semantics, `/root/reference/hyvideo_i2v/utils/lora_utils.py:6-100`).
+
+    ``lora`` is a safetensors path or an already-loaded dict with
+    ``<name>.lora_down.weight`` / ``<name>.lora_up.weight`` /
+    optional ``<name>.alpha`` entries.
+    """
+    import torch
+    if isinstance(lora, str):
+        from safetensors.torch import load_file
+        lora = load_file(lora)
+    downs = {k: v for k, v in lora.items() if k.endswith("lora_down.weight")}
+    for dk, down in downs.items():
+        base = dk[:-len(".lora_down.weight")]
+        up = lora[f"{base}.lora_up.weight"]
+        rank = down.shape[0]
+        a = float(lora.get(f"{base}.alpha", rank))
+        target = _kohya_to_module_key(base, prefix) + ".weight"
+        if target not in sd:
+            raise KeyError(f"LoRA target {target} not in base state dict")
+        w = sd[target]
+        delta = (alpha * a / rank) * (up.to(torch.float32)
+                                      @ down.to(torch.float32))
+        sd[target] = (w.to(torch.float32) + delta).to(w.dtype)
+    return sd

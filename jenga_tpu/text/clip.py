@@ -151,9 +151,14 @@ def init_clip_vision_params(key, cfg: CLIPVisionConfig = CLIP_H_VISION):
     }
 
 
-def clip_vision_encode(params, cfg: CLIPVisionConfig, images):
+def clip_vision_encode(params, cfg: CLIPVisionConfig, images,
+                       use_31_block: bool = False):
     """images [B, 3, H, W] (normalized) -> token features [B, 1+P, d]
-    (cls first), the layout Wan I2V consumes as ``clip_fea`` [B, 257, d]."""
+    (cls first), the layout Wan I2V consumes as ``clip_fea`` [B, 257, d].
+
+    ``use_31_block`` stops before the last transformer block and skips the
+    post-norm — how Wan taps visual features
+    (`/root/reference/wan/modules/clip.py:295-300,541`)."""
     b, c, hh, ww = images.shape
     p = cfg.patch_size
     gh, gw = hh // p, ww // p
@@ -166,7 +171,10 @@ def clip_vision_encode(params, cfg: CLIPVisionConfig, images):
                                                                + 1]
     h = L.layer_norm(h, params["pre_ln"]["w"], params["pre_ln"]["b"],
                      eps=1e-5)
-    for blk in params["blocks"]:
+    blocks = params["blocks"][:-1] if use_31_block else params["blocks"]
+    for blk in blocks:
         h = _encoder_block(blk, h, cfg.num_heads, act=jax.nn.gelu)
+    if use_31_block:
+        return h
     return L.layer_norm(h, params["post_ln"]["w"], params["post_ln"]["b"],
                         eps=1e-5)

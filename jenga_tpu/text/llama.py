@@ -141,6 +141,11 @@ def llama_hidden_states(params, cfg: LlamaConfig, token_ids, attention_mask,
                      * L.linear(p["up"], x))
         h = h + y
         states.append(h)
+    if depth == cfg.num_layers:
+        # HF convention: the last hidden_states entry is the final-normed
+        # output; intermediates (what hidden_state_skip_layer indexes) are
+        # raw block outputs.
+        states[-1] = L.rms_norm(h, params["final_norm"], cfg.rms_eps)
     return states
 
 

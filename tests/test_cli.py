@@ -29,3 +29,20 @@ def test_hyvideo_t2v_tiny(tmp_path):
               "--infer-steps", "2", "--latents-only", "--save-path", out])
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(out)
+
+
+def test_hyvideo_i2v_tiny(tmp_path):
+    out = str(tmp_path / "v.npy")
+    r = _run(["hyvideo-i2v", "--tiny", "--cpu",
+              "--video-size", "96", "64", "--video-length", "5",
+              "--infer-steps", "2", "--latents-only", "--save-path", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
+
+
+def test_wan_i2v_tiny(tmp_path):
+    out = str(tmp_path / "v.npy")
+    r = _run(["wan-i2v", "--tiny", "--cpu", "--video-length", "9",
+              "--infer-steps", "2", "--latents-only", "--save-path", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)

@@ -1,0 +1,133 @@
+"""Prompt -> embeddings -> pipeline wiring through the runtime facade,
+using tiny synthetic HF-format checkpoints (structure-identical to the real
+llava/CLIP dirs the reference downloads)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+def _make_tokenizer(dirpath):
+    """Minimal offline HF-fast tokenizer (whitespace wordlevel)."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    vocab = {"<pad>": 0, "<unk>": 1, "a": 2, "cat": 3, "walks": 4,
+             "on": 5, "the": 6, "grass": 7}
+    # pad vocab so template words map to <unk> fine
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.enable_padding(pad_id=0, pad_token="<pad>")
+    tok.save(os.path.join(dirpath, "tokenizer.json"))
+    with open(os.path.join(dirpath, "tokenizer_config.json"), "w") as f:
+        json.dump({"tokenizer_class": "PreTrainedTokenizerFast",
+                   "pad_token": "<pad>", "unk_token": "<unk>",
+                   "model_max_length": 1024}, f)
+
+
+@pytest.fixture(scope="module")
+def hy_ckpt_dir(tmp_path_factory):
+    """ckpt dir with tiny HF llama (text_encoder/) + CLIP (text_encoder_2/),
+    no DiT (random init)."""
+    from transformers import (CLIPTextConfig, CLIPTextModel, LlamaConfig,
+                              LlamaModel)
+    root = tmp_path_factory.mktemp("hy_ckpt")
+    te = root / "text_encoder"
+    te.mkdir()
+    torch.manual_seed(0)
+    llama = LlamaModel(LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2))
+    llama.save_pretrained(str(te))
+    _make_tokenizer(str(te))
+
+    te2 = root / "text_encoder_2"
+    te2.mkdir()
+    clip = CLIPTextModel(CLIPTextConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=2,
+        max_position_embeddings=77, eos_token_id=0))
+    clip.save_pretrained(str(te2))
+    _make_tokenizer(str(te2))
+    return str(root)
+
+
+def _stub_dit_init(monkeypatch):
+    """Skip the 13B-param random DiT init (tests only exercise encoders)."""
+    import jenga_tpu.runtime as rt
+    monkeypatch.setattr(rt.hy, "init_hyvideo_params",
+                        lambda key, cfg: {"stub": np.zeros(1)})
+
+
+def test_hy_encode_prompt_shapes(hy_ckpt_dir, monkeypatch):
+    import dataclasses
+    import jenga_tpu.runtime as rt
+    from jenga_tpu.models import hyvideo as hy
+
+    _stub_dit_init(monkeypatch)
+    monkeypatch.setattr(rt.HunyuanVideoSampler, "TEXT_LEN", 32)
+    sampler = rt.HunyuanVideoSampler.from_pretrained(hy_ckpt_dir)
+    # the checkpoint dir has no DiT: params must be random-init at the
+    # production config, and the encoders must be wired
+    assert sampler.text_encoder is not None
+    assert sampler.text_encoder_2 is not None
+    lcfg = sampler.text_encoder[1]
+    assert lcfg.hidden_size == 32 and lcfg.num_layers == 3
+
+    hidden, mask, pooled = sampler.encode_prompt("a cat walks on the grass",
+                                                 mode="video")
+    crop = 95
+    assert hidden.shape == (32 + crop - crop, lcfg.hidden_size) \
+        or hidden.shape[0] == 32  # L = TEXT_LEN after crop
+    assert mask.shape[0] == hidden.shape[0]
+    # pooled dim follows the CLIP encoder (768 in production, 16 here)
+    assert pooled.shape == (sampler.text_encoder_2[1].hidden_size,)
+    assert np.isfinite(np.asarray(hidden)).all()
+    # real tokens present (not all-zero embedding rows)
+    assert np.abs(np.asarray(hidden)).max() > 0
+
+
+def test_hy_encode_prompt_image_mode_crop(hy_ckpt_dir, monkeypatch):
+    import jenga_tpu.runtime as rt
+    _stub_dit_init(monkeypatch)
+    monkeypatch.setattr(rt.HunyuanVideoSampler, "TEXT_LEN", 16)
+    sampler = rt.HunyuanVideoSampler.from_pretrained(hy_ckpt_dir)
+    hidden_v, mask_v, _ = sampler.encode_prompt("a cat", mode="video")
+    hidden_i, mask_i, _ = sampler.encode_prompt("a cat", mode="image")
+    # both crop to TEXT_LEN tokens regardless of template length
+    assert hidden_v.shape[0] == 16
+    assert hidden_i.shape[0] == 16
+
+
+def test_wan_missing_ckpt_raises(tmp_path):
+    """A ckpt_dir without any DiT file must raise, never silently fall back
+    to random weights (round-1 advisor finding)."""
+    from jenga_tpu.runtime import WanSampler
+    with pytest.raises(FileNotFoundError):
+        WanSampler.from_pretrained("t2v-1.3B", str(tmp_path))
+
+
+def test_wan_encode_prompt_trims(tmp_path, monkeypatch):
+    """T5 encoding trims to the true token count."""
+    import jax
+    import jenga_tpu.runtime as rt
+    from jenga_tpu.text import HFTokenizerAdapter
+    from jenga_tpu.text.t5 import T5Config, init_t5_params
+
+    tdir = tmp_path / "tok"
+    tdir.mkdir()
+    _make_tokenizer(str(tdir))
+    cfg = T5Config(vocab_size=64, dim=16, dim_attn=16, dim_ffn=32,
+                   num_heads=2, num_layers=2, shared_pos=False,
+                   dtype="float32")
+    params = init_t5_params(jax.random.PRNGKey(0), cfg)
+    tok = HFTokenizerAdapter(str(tdir), max_length=20)
+
+    from jenga_tpu.models.wan import WAN_T2V_1_3B, init_wan_params
+    wcfg = WAN_T2V_1_3B
+    sampler = rt.WanSampler.__new__(rt.WanSampler)
+    sampler.t5 = (tok, cfg, params)
+    ctx = sampler.encode_prompt("a cat walks")
+    assert ctx.shape == (3, 16)   # 3 real tokens, trimmed
