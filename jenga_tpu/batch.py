@@ -1,0 +1,76 @@
+"""Batched prompt-list generation with resume (VBench-style evaluation).
+
+Counterpart of the reference's JSON prompt-list machinery
+(`/root/reference/jenga_wan.py:947-981`): a JSON file of
+``{"prompt_en": ..., "id": ...}`` items (or a plain text file, one prompt
+per line), an optional ``remain_list`` JSON of ids to re-run, poor-man's
+data parallelism via ``prompts[cur_id::chunk_num]`` host sharding, and
+id-stamped outputs that let an interrupted run resume by skipping files
+that already exist.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+__all__ = ["load_prompt_list", "run_batch"]
+
+
+def load_prompt_list(path: str, remain_list: str | None = None,
+                     chunk_num: int = 1, cur_id: int = 0):
+    """Returns a list of (id, prompt) pairs.
+
+    JSON files use the VBench format (``prompt_en`` + optional ``id``);
+    anything else is read as one prompt per line. ``remain_list`` is a JSON
+    list of integer ids to keep (the reference's resume filter,
+    `/root/reference/jenga_wan.py:953-957`). ``cur_id``/``chunk_num``
+    stride-shard the list across hosts.
+    """
+    prompts, ids = [], []
+    if path.endswith(".json"):
+        with open(path) as f:
+            data = json.load(f)
+        if remain_list is not None:
+            with open(remain_list) as f:
+                keep = set(json.load(f))
+            data = [item for item in data if int(item["id"]) in keep]
+        for item in data:
+            if isinstance(item, dict) and "prompt_en" in item:
+                prompts.append(item["prompt_en"])
+                ids.append(str(item["id"]).zfill(4) if "id" in item
+                           else f"{len(ids):04d}")
+    else:
+        with open(path) as f:
+            prompts = [line.strip() for line in f if line.strip()]
+        ids = [f"{i:04d}" for i in range(len(prompts))]
+    return list(zip(ids[cur_id::chunk_num], prompts[cur_id::chunk_num]))
+
+
+def run_batch(items, generate_fn, save_fn, out_dir: str,
+              suffix: str = ".mp4", skip_existing: bool = True,
+              log=print):
+    """Run ``generate_fn(prompt)`` per (id, prompt), saving via
+    ``save_fn(path, output)`` to ``{out_dir}/{id}{suffix}``.
+
+    Existing outputs are skipped (resume); failures are logged and the run
+    continues so one bad prompt never loses a batch. Returns the list of
+    (id, path, status) triples.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    results = []
+    for vid, prompt in items:
+        path = os.path.join(out_dir, f"{vid}{suffix}")
+        if skip_existing and os.path.exists(path):
+            log(f"[{vid}] exists, skipping")
+            results.append((vid, path, "skipped"))
+            continue
+        try:
+            out = generate_fn(prompt)
+            save_fn(path, out)
+            log(f"[{vid}] saved {path}")
+            results.append((vid, path, "ok"))
+        except Exception as e:  # noqa: BLE001 - batch isolation by design
+            log(f"[{vid}] FAILED: {type(e).__name__}: {e}")
+            results.append((vid, path, f"error: {e}"))
+    return results

@@ -23,6 +23,16 @@ import time
 
 def _common(p: argparse.ArgumentParser):
     p.add_argument("--prompt", type=str, default="A cat walks on the grass")
+    p.add_argument("--prompt-file", type=str, default=None,
+                   help="JSON (VBench prompt_en/id) or txt prompt list")
+    p.add_argument("--remain-list", type=str, default=None,
+                   help="JSON list of ids to (re-)generate (resume filter)")
+    p.add_argument("--chunk-num", type=int, default=1,
+                   help="shard the prompt list across this many hosts")
+    p.add_argument("--cur-id", type=int, default=0,
+                   help="this host's shard index")
+    p.add_argument("--out-dir", type=str, default="outputs",
+                   help="directory for id-stamped batch outputs")
     p.add_argument("--neg-prompt", type=str, default=None)
     p.add_argument("--ckpt-dir", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -79,16 +89,38 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
-def _save(args, out):
+def _save_output(path, out, latents_only=False):
     import numpy as np
-    if args.latents_only or out.ndim != 4 or out.shape[0] != 3:
-        path = args.save_path.rsplit(".", 1)[0] + ".npy"
+    if latents_only or out.ndim != 4 or out.shape[0] != 3:
+        path = path.rsplit(".", 1)[0] + ".npy"
         np.save(path, np.asarray(out))
         print(f"saved latents to {path}")
     else:
         from .utils.video import save_video
-        path = save_video(args.save_path, np.asarray(out))
+        path = save_video(path, np.asarray(out))
         print(f"saved video to {path}")
+    return path
+
+
+def _save(args, out):
+    _save_output(args.save_path, out, args.latents_only)
+
+
+def _maybe_run_batch(args, generate_fn):
+    """If --prompt-file was given, run the id-stamped batch loop and
+    return True (reference `/root/reference/jenga_wan.py:947-981`)."""
+    if not args.prompt_file:
+        return False
+    from .batch import load_prompt_list, run_batch
+    items = load_prompt_list(args.prompt_file, args.remain_list,
+                             args.chunk_num, args.cur_id)
+    print(f"batch: {len(items)} prompts "
+          f"(shard {args.cur_id}/{args.chunk_num})")
+    suffix = ".npy" if args.latents_only else ".mp4"
+    run_batch(items, generate_fn,
+              lambda p, o: _save_output(p, o, args.latents_only),
+              args.out_dir, suffix=suffix)
+    return True
 
 
 def _apply_backend(args):
@@ -120,16 +152,21 @@ def run_hyvideo_t2v(args):
     opts = get_hy_preset(args.preset, **over)
 
     sampler = _hy_sampler(args, i2v=False)
-    t0 = time.time()
-    if sampler.text_encoder is not None:
-        out = sampler.predict_prompt(prompt=args.prompt, opts=opts,
-                                     negative_prompt=args.neg_prompt,
-                                     decode=not args.latents_only)
-    else:
+
+    def gen(prompt):
+        if sampler.text_encoder is not None:
+            return sampler.predict_prompt(prompt=prompt, opts=opts,
+                                          negative_prompt=args.neg_prompt,
+                                          decode=not args.latents_only)
         # no encoder checkpoints: zero embeddings (smoke mode)
         txt, mask, txt2 = _zero_hy_text(sampler.cfg)
-        out = sampler.predict(txt, mask, txt2, opts,
-                              decode=not args.latents_only)
+        return sampler.predict(txt, mask, txt2, opts,
+                               decode=not args.latents_only)
+
+    if _maybe_run_batch(args, gen):
+        return
+    t0 = time.time()
+    out = gen(args.prompt)
     print(json.dumps({"gen_time_s": round(time.time() - t0, 2)}))
     _save(args, out)
 
@@ -243,15 +280,20 @@ def run_wan_t2v(args):
     opts = get_wan_preset(args.preset, **over)
 
     sampler = _wan_sampler(args, i2v=False)
-    t0 = time.time()
-    if sampler.t5 is not None:
-        out = sampler.generate_prompt(args.prompt, opts,
-                                      negative_prompt=args.neg_prompt or "",
-                                      decode=not args.latents_only)
-    else:
+
+    def gen(prompt):
+        if sampler.t5 is not None:
+            return sampler.generate_prompt(
+                prompt, opts, negative_prompt=args.neg_prompt or "",
+                decode=not args.latents_only)
         ctx = jnp.zeros((64, sampler.cfg.text_dim))
-        out = sampler.generate(ctx, jnp.zeros_like(ctx), opts,
-                               decode=not args.latents_only)
+        return sampler.generate(ctx, jnp.zeros_like(ctx), opts,
+                                decode=not args.latents_only)
+
+    if _maybe_run_batch(args, gen):
+        return
+    t0 = time.time()
+    out = gen(args.prompt)
     print(json.dumps({"gen_time_s": round(time.time() - t0, 2)}))
     _save(args, out)
 

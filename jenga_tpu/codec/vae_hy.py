@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["HYVAEConfig", "init_hyvae_params", "vae_encode", "vae_decode",
-           "vae_decode_tiled", "gaussian_sample", "HYVAE_884_16C"]
+           "vae_decode_tiled", "vae_encode_tiled", "gaussian_sample",
+           "HYVAE_884_16C"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -330,6 +331,8 @@ def vae_decode(params, z, cfg: HYVAEConfig = HYVAE_884_16C):
 def _blend_h(a, b, extent):
     w = b.shape[-1]
     n = min(a.shape[-1], w, extent)
+    if n <= 0:
+        return b
     ramp = (jnp.arange(n) / n).reshape(1, 1, 1, 1, n)
     blended = a[..., -n:] * (1 - ramp) + b[..., :n] * ramp
     return jnp.concatenate([blended, b[..., n:]], axis=-1)
@@ -338,6 +341,8 @@ def _blend_h(a, b, extent):
 def _blend_v(a, b, extent):
     h = b.shape[-2]
     n = min(a.shape[-2], h, extent)
+    if n <= 0:
+        return b
     ramp = (jnp.arange(n) / n).reshape(1, 1, 1, n, 1)
     blended = a[..., -n:, :] * (1 - ramp) + b[..., :n, :] * ramp
     return jnp.concatenate([blended, b[..., n:, :]], axis=-2)
@@ -346,6 +351,8 @@ def _blend_v(a, b, extent):
 def _blend_t(a, b, extent):
     t = b.shape[2]
     n = min(a.shape[2], t, extent)
+    if n <= 0:
+        return b
     ramp = (jnp.arange(n) / n).reshape(1, 1, n, 1, 1)
     blended = a[:, :, -n:] * (1 - ramp) + b[:, :, :n] * ramp
     return jnp.concatenate([blended, b[:, :, n:]], axis=2)
@@ -376,7 +383,9 @@ def _spatial_tiled_decode_raw(params, z, cfg: HYVAEConfig):
             if i > 0:
                 tile = _blend_v(rows[i - 1][j], tile, blend)
             if j > 0:
-                tile = _blend_h(out_row[j - 1], tile, blend)
+                # reference blends against the *raw* left tile
+                # (`autoencoder_kl_causal_3d.py:455`)
+                tile = _blend_h(row[j - 1], tile, blend)
             out_row.append(tile)
         out_rows.append(jnp.concatenate(
             [t[..., :row_limit] for t in out_row], axis=-1))
@@ -413,6 +422,82 @@ def vae_decode_tiled(params, z, cfg: HYVAEConfig = HYVAE_884_16C,
         if start > 0:
             dec = dec[:, :, 1:]
         tiles.append(dec)
+    parts = []
+    for i, tile in enumerate(tiles):
+        if i > 0:
+            tile = _blend_t(tiles[i - 1], tile, blend)
+            parts.append(tile[:, :, :limit])
+        else:
+            parts.append(tile[:, :, :limit + 1])
+    return jnp.concatenate(parts, axis=2)
+
+
+def _encode_raw(params, cfg, x):
+    """encoder + quant_conv (no tiling): x -> moments."""
+    return causal_conv3d(params["quant_conv"], _encoder(params["encoder"],
+                                                        cfg, x))
+
+
+def _spatial_tiled_encode_raw(params, x, cfg: HYVAEConfig):
+    """Spatially tiled encode with latent-space seam blending (reference
+    ``spatial_tiled_encode``, `/root/reference/hyvideo/vae/
+    autoencoder_kl_causal_3d.py:361-415`): pixel-space tiles of
+    ``sample_size`` stepped by the pixel overlap, blended and cropped in
+    latent space. Returns moments."""
+    tile_px = cfg.sample_size
+    overlap_px = int(tile_px * (1 - cfg.tile_overlap_factor))
+    tile_lat = tile_px // cfg.spatial_compression_ratio
+    blend = int(tile_lat * cfg.tile_overlap_factor)
+    row_limit = tile_lat - blend
+
+    rows = []
+    for i in range(0, x.shape[-2], overlap_px):
+        row = []
+        for j in range(0, x.shape[-1], overlap_px):
+            tile = x[:, :, :, i:i + tile_px, j:j + tile_px]
+            row.append(_encode_raw(params, cfg, tile))
+        rows.append(row)
+
+    out_rows = []
+    for i, row in enumerate(rows):
+        out_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = _blend_v(rows[i - 1][j], tile, blend)
+            if j > 0:
+                # reference blends against the *unblended* left tile
+                tile = _blend_h(row[j - 1], tile, blend)
+            out_row.append(tile[..., :row_limit, :row_limit])
+        out_rows.append(jnp.concatenate(out_row, axis=-1))
+    return jnp.concatenate(out_rows, axis=-2)
+
+
+def vae_encode_tiled(params, x, cfg: HYVAEConfig = HYVAE_884_16C,
+                     temporal: bool = True):
+    """Temporal + spatial tiled encode (reference ``temporal_tiled_encode``,
+    `/root/reference/hyvideo/vae/autoencoder_kl_causal_3d.py:465-498`).
+    x [B, 3, F, H, W] in [-1, 1] -> moments [B, 2*latent, f, h, w]."""
+    def encode_one(tile):
+        if (tile.shape[-1] > cfg.sample_size
+                or tile.shape[-2] > cfg.sample_size):
+            return _spatial_tiled_encode_raw(params, tile, cfg)
+        return _encode_raw(params, cfg, tile)
+
+    f = x.shape[2]
+    if not temporal or f <= cfg.sample_tsize:
+        return encode_one(x)
+
+    overlap = int(cfg.sample_tsize * (1 - cfg.tile_overlap_factor))
+    tile_lat_t = cfg.sample_tsize // cfg.time_compression_ratio
+    blend = int(tile_lat_t * cfg.tile_overlap_factor)
+    limit = tile_lat_t - blend
+
+    tiles = []
+    for start in range(0, f, overlap):
+        enc = encode_one(x[:, :, start:start + cfg.sample_tsize + 1])
+        if start > 0:
+            enc = enc[:, :, 1:]
+        tiles.append(enc)
     parts = []
     for i, tile in enumerate(tiles):
         if i > 0:

@@ -82,6 +82,8 @@ class HYVideoI2VPipeline(HYVideoT2VPipeline):
                      decode: bool = True):
         """``image_latents``: list of per-stage [C, 1, h, w] clean latents
         (already VAE-scaled), one per ProRes stage."""
+        from ..configs.validate import validate_hy_options
+        validate_hy_options(opts)
         cfg = self.cfg
         shapes = self._stage_shapes(opts)
         assert len(image_latents) == len(shapes), \

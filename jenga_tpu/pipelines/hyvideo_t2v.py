@@ -115,6 +115,8 @@ class HYVideoT2VPipeline:
         matching triple for CFG. Returns decoded video (with a VAE) or
         final latents [C, F, H, W] f32.
         """
+        from ..configs.validate import validate_hy_options
+        validate_hy_options(opts)
         cfg = self.cfg
         shapes = self._stage_shapes(opts)
         n = opts.num_inference_steps

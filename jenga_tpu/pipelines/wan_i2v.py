@@ -98,6 +98,8 @@ class WanI2VPipeline(WanT2VPipeline):
         """``image_latent``: [16, T_lat, lat_h, lat_w] VAE encoding of the
         first frame + zero padding (already normalized); ``clip_fea``:
         [257, 1280] CLIP image tokens."""
+        from ..configs.validate import validate_wan_options
+        validate_wan_options(opts)
         cfg = self.cfg
         t_lat = (frame_num - 1) // self.VAE_STRIDE[0] + 1
 

@@ -168,6 +168,8 @@ class WanT2VPipeline:
         prompt embeddings [L, text_dim] (unpadded). Returns decoded video
         (if a VAE is attached and ``decode``) else final latents
         [C, F, H, W] (f32)."""
+        from ..configs.validate import validate_wan_options
+        validate_wan_options(opts)
         cfg = self.cfg
         latent_shape = self._latent_shape(opts)
         c, f, lh, lw = latent_shape

@@ -255,7 +255,7 @@ class HunyuanVideoSampler:
             raise RuntimeError("no VAE loaded (ckpt_dir without vae/)")
         x = _resize_chw(np.asarray(image), lat_h * 8, lat_w * 8)
         x = (x * 2.0 - 1.0)[None, :, None]      # [1, 3, 1, H, W]
-        moments = vae_hy.vae_encode(self.vae_params, x, self.vae_cfg)
+        moments = vae_hy.vae_encode_tiled(self.vae_params, x, self.vae_cfg)
         mean = vae_hy.gaussian_sample(moments)
         return mean[0] * self.vae_cfg.scaling_factor
 

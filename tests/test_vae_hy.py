@@ -95,3 +95,43 @@ def test_tiled_decode_multi_tile_shape(params):
     out = vae_decode_tiled(params, z, cfg)
     assert out.shape == (1, 3, f, h, w)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tiled_encode_matches_untiled_when_single_tile(params):
+    from jenga_tpu.codec.vae_hy import vae_encode_tiled
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 5, 32, 32))
+    tiled = vae_encode_tiled(params, x, SMALL)
+    untiled = vae_encode(params, x, SMALL)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(untiled),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_tiled_encode_multi_tile_shape(params):
+    """Spatial+temporal multi-tile input: latent grid matches the untiled
+    compression arithmetic exactly (reference temporal_tiled_encode,
+    `/root/reference/hyvideo/vae/autoencoder_kl_causal_3d.py:465-498`).
+
+    The temporal tile must satisfy (tile_lat - blend) * 4 == pixel overlap
+    (production 64 -> 16/4/12/48 does; tiny 8 truncates blend to 0 and
+    breaks the arithmetic), so the temporal test uses sample_tsize=16.
+    """
+    from jenga_tpu.codec.vae_hy import vae_encode_tiled
+    cfg = dataclasses.replace(SMALL, sample_tsize=16)
+    f, h, w = 21, 96, 128   # > sample_tsize(16) and > sample_size(64)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 3, f, h, w))
+    moments = vae_encode_tiled(params, x, cfg)
+    assert moments.shape == (1, 2 * SMALL.latent_channels,
+                             (f - 1) // 4 + 1, h // 8, w // 8)
+    assert np.isfinite(np.asarray(moments)).all()
+
+
+def test_tiled_encode_decode_roundtrip(params):
+    """Full tiled encode -> decode roundtrip keeps shapes and is finite."""
+    from jenga_tpu.codec.vae_hy import vae_encode_tiled
+    cfg = dataclasses.replace(SMALL, sample_tsize=16)
+    f, h, w = 21, 64, 64
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 3, f, h, w))
+    z = gaussian_sample(vae_encode_tiled(params, x, cfg))
+    video = vae_decode_tiled(params, z, cfg)
+    assert video.shape == (1, 3, f, h, w)
+    assert np.isfinite(np.asarray(video)).all()

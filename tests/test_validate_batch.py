@@ -1,0 +1,121 @@
+"""Input validation + batched prompt-list runner tests."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+
+from jenga_tpu.batch import load_prompt_list, run_batch
+from jenga_tpu.configs.validate import (ValidationError, validate_hy_options,
+                                        validate_wan_options)
+from jenga_tpu.pipelines.hyvideo_t2v import HYT2VOptions
+from jenga_tpu.pipelines.wan_t2v import WanT2VOptions
+
+
+class TestValidateHY:
+    def test_defaults_pass(self):
+        validate_hy_options(HYT2VOptions())
+
+    @pytest.mark.parametrize("bad", [
+        dict(video_length=10),                       # not 4k+1
+        dict(size=(1281, 720)),                      # not /16
+        dict(num_inference_steps=0),
+        dict(res_rate_list=(0.5, 1.0), step_rate_list=(1.0,)),
+        dict(res_rate_list=(1.0, 0.5)),              # last stage not full
+        dict(step_rate_list=(1.0, 0.5)),             # not ascending
+        dict(sa_drop_rates=()),
+        dict(sa_drop_rates=(1.0,)),                  # drop >= 1
+        dict(p_remain=0.0),
+        dict(txt_block_num=0),
+    ])
+    def test_bad_options_raise(self, bad):
+        with pytest.raises(ValidationError):
+            validate_hy_options(dataclasses.replace(HYT2VOptions(), **bad))
+
+    def test_video_length_one_ok(self):
+        validate_hy_options(dataclasses.replace(HYT2VOptions(),
+                                                video_length=1))
+
+
+class TestValidateWan:
+    def test_defaults_pass(self):
+        validate_wan_options(WanT2VOptions())
+
+    @pytest.mark.parametrize("bad", [
+        dict(frame_num=80),
+        dict(size=(830, 480)),
+        dict(sampling_steps=-1),
+        dict(sa_drop_rates=(0.5, 1.5)),
+        dict(p_remain=1.5),
+        dict(guide_scale=-1.0),
+        dict(enable_turbo=True, turbo_switch_step=100),
+    ])
+    def test_bad_options_raise(self, bad):
+        with pytest.raises(ValidationError):
+            validate_wan_options(dataclasses.replace(WanT2VOptions(), **bad))
+
+
+class TestPromptList:
+    def _write_json(self, tmp_path, items):
+        p = tmp_path / "prompts.json"
+        p.write_text(json.dumps(items))
+        return str(p)
+
+    def test_json_with_ids(self, tmp_path):
+        path = self._write_json(tmp_path, [
+            {"prompt_en": "a cat", "id": 3},
+            {"prompt_en": "a dog", "id": 12},
+        ])
+        items = load_prompt_list(path)
+        assert items == [("0003", "a cat"), ("0012", "a dog")]
+
+    def test_json_without_ids_uses_index(self, tmp_path):
+        path = self._write_json(tmp_path, [{"prompt_en": "x"},
+                                           {"prompt_en": "y"}])
+        assert load_prompt_list(path) == [("0000", "x"), ("0001", "y")]
+
+    def test_remain_list_filters(self, tmp_path):
+        path = self._write_json(tmp_path, [
+            {"prompt_en": "a", "id": 1}, {"prompt_en": "b", "id": 2},
+            {"prompt_en": "c", "id": 3}])
+        remain = tmp_path / "remain.json"
+        remain.write_text("[1, 3]")
+        items = load_prompt_list(path, str(remain))
+        assert [i for i, _ in items] == ["0001", "0003"]
+
+    def test_txt_and_host_sharding(self, tmp_path):
+        p = tmp_path / "prompts.txt"
+        p.write_text("a\nb\nc\nd\n")
+        shard0 = load_prompt_list(str(p), chunk_num=2, cur_id=0)
+        shard1 = load_prompt_list(str(p), chunk_num=2, cur_id=1)
+        assert shard0 == [("0000", "a"), ("0002", "c")]
+        assert shard1 == [("0001", "b"), ("0003", "d")]
+
+
+class TestRunBatch:
+    def test_resume_skips_existing_and_isolates_failures(self, tmp_path):
+        out_dir = str(tmp_path / "out")
+        os.makedirs(out_dir)
+        with open(os.path.join(out_dir, "0001.npy"), "w") as f:
+            f.write("done")
+        calls = []
+
+        def gen(prompt):
+            calls.append(prompt)
+            if prompt == "boom":
+                raise RuntimeError("boom")
+            return np.zeros(3)
+
+        def save(path, out):
+            np.save(path, out)
+
+        items = [("0001", "already"), ("0002", "boom"), ("0003", "fresh")]
+        results = run_batch(items, gen, save, out_dir, suffix=".npy",
+                            log=lambda *_: None)
+        assert calls == ["boom", "fresh"]      # 0001 skipped
+        assert results[0][2] == "skipped"
+        assert results[1][2].startswith("error")
+        assert results[2][2] == "ok"
+        assert os.path.exists(os.path.join(out_dir, "0003.npy"))
