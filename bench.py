@@ -109,16 +109,22 @@ def main():
         h0, aux = wan_embed(params, cfg, x2, t2, ctx2, carve)
         return wan_head(params, cfg, h0 + residual, aux, carve)
 
+    def sync(out):
+        # On the remote-relay backend block_until_ready can return before
+        # execution finishes; materializing a scalar is the reliable sync.
+        lead = out[0] if isinstance(out, tuple) else out
+        return float(jnp.sum(lead))
+
     def timeit(fn, iters, *extra):
         out = fn(params, x2, *extra)
-        jax.block_until_ready(out)
+        sync(out)
         t0 = time.perf_counter()
         x = x2
         for _ in range(iters):
             lead = out[0] if isinstance(out, tuple) else out
             x = x * 0.9 + 0.1 * lead[:, :16]   # distinct work every call
             out = fn(params, x, *extra)
-        jax.block_until_ready(out)
+        sync(out)
         return (time.perf_counter() - t0) / iters
 
     iters = 1 if QUICK else 3
