@@ -243,6 +243,22 @@ def _self_attention(p, x, cfg: WanConfig, carve: WanCarve | None,
 
     if mesh is not None:
         sparse = carve is not None and carve.sa_drop_rate > 0.25
+        sp = mesh.shape.get("sp", 1)
+        if n % sp != 0:
+            # Ulysses needs heads % devices == 0; ring attention shards
+            # tokens instead (reference ring plumbing,
+            # `/root/reference/hyvideo/modules/xdit_ring_atten.py:226-429`).
+            if sparse:
+                raise ValueError(
+                    f"carved attention requires num_heads ({n}) divisible "
+                    f"by the sp mesh ({sp}) — the planner needs the full "
+                    f"sequence per device (Ulysses); use more heads or a "
+                    f"smaller mesh, or disable carving for ring attention")
+            from ..parallel.ring import ring_attention
+            q = L.apply_rope(q, rope_cos, rope_sin)
+            k = L.apply_rope(k, rope_cos, rope_sin)
+            out = ring_attention(q, k, v, mesh)
+            return L.linear(p["o"], out.reshape(b, s, d))
         if sparse and top_k is None:
             nb = s // 128
             top_k = int(nb * (1.0 - carve.sa_drop_rate))

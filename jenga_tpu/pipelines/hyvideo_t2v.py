@@ -107,7 +107,8 @@ class HYVideoT2VPipeline:
     # ---------------------------------------------------------- generate
 
     def generate(self, text_states, text_mask, text_states_2,
-                 opts: HYT2VOptions, negative=None, decode: bool = True):
+                 opts: HYT2VOptions, negative=None, decode: bool = True,
+                 on_step=None):
         """Run the ProRes denoise loop.
 
         ``text_states`` [L, 4096] LLM token states, ``text_mask`` [L],
@@ -212,6 +213,10 @@ class HYVideoT2VPipeline:
                     latents = schedule.step(i, latents, v)
             else:
                 latents = schedule.step(i, latents, v)
+
+            if on_step is not None:
+                # fidelity recording hook (see pipelines.loss_eval)
+                on_step(i, latents[0])
 
         latents = latents[0]
         if decode and self.vae_decode is not None:

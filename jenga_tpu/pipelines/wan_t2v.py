@@ -163,7 +163,7 @@ class WanT2VPipeline:
     # ---------------------------------------------------------- generation
 
     def generate(self, context, context_null, opts: WanT2VOptions,
-                 decode: bool = True):
+                 decode: bool = True, on_step=None):
         """Run the denoise loop. ``context``/``context_null`` are encoded
         prompt embeddings [L, text_dim] (unpadded). Returns decoded video
         (if a VAE is attached and ``decode``) else final latents
@@ -266,6 +266,10 @@ class WanT2VPipeline:
                 residual = None
             else:
                 state, latents = unipc_step(schedule, state, v, latents)
+
+            if on_step is not None:
+                # fidelity recording hook (see pipelines.loss_eval)
+                on_step(idx, latents[0])
 
         latents = latents[0]
         if decode and self.vae_decode is not None:

@@ -38,3 +38,49 @@ def test_ring_with_joint_text_kv():
                           vf.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
                                rtol=2e-5)
+
+
+def test_wan_forward_ring_fallback_heads_lt_devices():
+    """Dense wan_forward on an 8-device mesh with 2 heads routes through
+    ring attention and matches the single-device result."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jenga_tpu.models.wan import WanConfig, init_wan_params, wan_forward
+    from jenga_tpu.parallel.mesh import make_sp_mesh
+
+    mesh = make_sp_mesh()
+    cfg = WanConfig(dim=64, ffn_dim=128, freq_dim=32, num_heads=2,
+                    num_layers=1, text_dim=32, text_len=8, dtype="float32")
+    params = init_wan_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.in_dim, 2, 8, 16))
+    t = jnp.array([300.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (1, cfg.text_len, cfg.text_dim))
+    out_mesh = wan_forward(params, cfg, x, t, ctx, mesh=mesh)
+    out_single = wan_forward(params, cfg, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out_mesh), np.asarray(out_single),
+                               atol=3e-4, rtol=3e-4)
+
+
+def test_wan_forward_carved_heads_not_divisible_raises():
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from jenga_tpu.curves.blocks import build_curve_plan
+    from jenga_tpu.models.wan import (WanConfig, init_wan_params,
+                                      make_wan_carve, wan_forward)
+    from jenga_tpu.parallel.mesh import make_sp_mesh
+
+    mesh = make_sp_mesh()
+    cfg = WanConfig(dim=64, ffn_dim=128, freq_dim=32, num_heads=2,
+                    num_layers=1, text_dim=32, text_len=8, dtype="float32")
+    params = init_wan_params(jax.random.PRNGKey(0), cfg)
+    plan = build_curve_plan((2, 8, 16), "sliced", 128)
+    carve = make_wan_carve(cfg, plan, sa_drop_rate=0.75, p_remain=0.9)
+    x = jnp.zeros((1, cfg.in_dim, 2, 16, 32))
+    t = jnp.array([300.0])
+    ctx = jnp.zeros((1, cfg.text_len, cfg.text_dim))
+    with pytest.raises(ValueError, match="divisible"):
+        wan_forward(params, cfg, x, t, ctx, carve=carve, mesh=mesh)
