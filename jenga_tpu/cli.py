@@ -78,6 +78,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["1.3b-base", "1.3b-turbo", "14b-base",
                             "14b-turbo"])
     w.add_argument("--sample-shift", type=float, default=None)
+    w.add_argument("--t5-cpu", action="store_true",
+                   help="keep the UMT5 encoder on host CPU")
     w.add_argument("--enable-turbo", action="store_true")
     w.add_argument("--teacache-thresh", type=float, default=None)
 
@@ -313,7 +315,9 @@ def _wan_sampler(args, i2v: bool):
     task = getattr(args, "task", "i2v-14B" if i2v else "t2v-1.3B")
     if i2v:
         task = "i2v-14B"
-    return WanSampler.from_pretrained(task, args.ckpt_dir, seed=args.seed)
+    return WanSampler.from_pretrained(
+        task, args.ckpt_dir, seed=args.seed,
+        t5_on_host=getattr(args, "t5_cpu", False))
 
 
 def run_wan_i2v(args):

@@ -223,6 +223,11 @@ def unipc_step(schedule: UniPCSchedule, state: UniPCState, velocity, sample):
         this_order = schedule.solver_order
     this_order = min(this_order, state.lower_order_nums + 1)
 
+    # Intentional quirk-parity, not a bug: the reference clears its whole
+    # disable_corrector list after forcing this_order=1 exactly once
+    # (`/root/reference/wan/utils/fm_solvers_unipc.py:723-725`), so the
+    # [24..37] range passed at the turbo switch only ever affects the
+    # first post-switch step. We reproduce that behavior bit-for-bit.
     disable = state.disable_corrector
     if len(disable) > 0:
         this_order = 1

@@ -556,5 +556,11 @@ def hyvideo_forward(params, cfg: HYVideoConfig, x, t, text_states,
                                   jnp.float32)
     img, txt, aux = hyvideo_embed(params, cfg, x, t, text_states, text_mask,
                                   text_states_2, carve, guidance)
+    if mesh is not None:
+        # token-shard the img stream over the sp axis (text stays
+        # replicated; the Ulysses island reshards heads internally)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        img = jax.lax.with_sharding_constraint(
+            img, NamedSharding(mesh, P(None, "sp", None)))
     img = hyvideo_trunk(params, cfg, img, txt, aux, carve, top_k, mesh)
     return hyvideo_head(params, cfg, img, aux, carve)

@@ -303,7 +303,10 @@ class WanSampler:
     @classmethod
     def from_pretrained(cls, task: str = "t2v-1.3B",
                         ckpt_dir: str | None = None, seed: int = 0,
-                        dtype: str = "bfloat16"):
+                        dtype: str = "bfloat16", t5_on_host: bool = False):
+        """``t5_on_host`` keeps the UMT5 weights + encode on host CPU
+        (reference ``--t5_cpu``, `/root/reference/wan/text2video.py:60-66`)
+        — on TPU this frees ~9GB HBM for the 14B DiT."""
         cfg = dataclasses.replace(cls.CONFIGS[task], dtype=dtype)
         model_id = {"t2v-1.3B": "wan-t2v-1.3b", "t2v-14B": "wan-t2v-14b",
                     "i2v-14B": "wan-i2v-720p"}[task]
@@ -331,7 +334,7 @@ class WanSampler:
                 vsd = C.load_torch_state_dict(vp)
                 vae_params = jax.tree.map(
                     jnp.asarray, C.convert_wanvae(vsd, vae_wan.WAN_VAE_16Z))
-            t5 = cls._load_t5(ckpt_dir)
+            t5 = cls._load_t5(ckpt_dir, on_host=t5_on_host)
             if cfg.model_type == "i2v":
                 clip_vision = cls._load_clip_vision(ckpt_dir)
         if params is None:
@@ -340,7 +343,7 @@ class WanSampler:
                    clip_vision=clip_vision)
 
     @classmethod
-    def _load_t5(cls, ckpt_dir):
+    def _load_t5(cls, ckpt_dir, on_host: bool = False):
         from .convert import encoders as E
         from .text import HFTokenizerAdapter
         from .text.t5 import UMT5_XXL
@@ -348,7 +351,12 @@ class WanSampler:
         if path is None:
             return None
         sd = C.load_torch_state_dict(path)
-        params = jax.tree.map(jnp.asarray, E.convert_umt5_wan(sd, UMT5_XXL))
+        tree = E.convert_umt5_wan(sd, UMT5_XXL)
+        if on_host:
+            cpu = jax.devices("cpu")[0]
+            params = jax.tree.map(lambda x: jax.device_put(x, cpu), tree)
+        else:
+            params = jax.tree.map(jnp.asarray, tree)
         tok_dir = os.path.join(ckpt_dir, cls.T5_TOKENIZER)
         tok = HFTokenizerAdapter(
             tok_dir if os.path.isdir(tok_dir) else "google/umt5-xxl",
@@ -377,8 +385,11 @@ class WanSampler:
         from .text.t5 import t5_encode
         tok, tcfg, tparams = self.t5
         ids, mask = tok(prompt)
-        states = t5_encode(tparams, tcfg, jnp.asarray(ids),
-                           jnp.asarray(mask))
+        # run on whichever device holds the weights (host CPU under t5_cpu)
+        dev = next(iter(jax.tree.leaves(tparams)[0].devices()))
+        with jax.default_device(dev):
+            states = t5_encode(tparams, tcfg, jnp.asarray(ids),
+                               jnp.asarray(mask))
         n = int(np.asarray(mask).sum())
         return np.asarray(states[0])[:n]
 
