@@ -43,6 +43,9 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("--video-length", type=int, default=None)
     p.add_argument("--sa-drop-rates", type=float, nargs="*", default=None)
     p.add_argument("--p-remain-rates", type=float, default=None)
+    p.add_argument("--curve-type", type=str, default=None,
+                   choices=["gilbert", "sliced", "transposed"],
+                   help="space-filling curve for token reordering")
     p.add_argument("--latents-only", action="store_true",
                    help="skip VAE decode, dump latents .npy")
     p.add_argument("--tiny", action="store_true",
@@ -149,6 +152,8 @@ def run_hyvideo_t2v(args):
         over["sa_drop_rates"] = tuple(args.sa_drop_rates)
     if args.p_remain_rates is not None:
         over["p_remain"] = args.p_remain_rates
+    if args.curve_type:
+        over["curve"] = args.curve_type
     over["seed"] = args.seed
     over["embedded_guidance_scale"] = args.embedded_cfg_scale
     opts = get_hy_preset(args.preset, **over)
@@ -273,6 +278,8 @@ def run_wan_t2v(args):
         over["sa_drop_rates"] = tuple(args.sa_drop_rates)
     if args.p_remain_rates is not None:
         over["p_remain"] = args.p_remain_rates
+    if args.curve_type:
+        over["curve"] = args.curve_type
     if args.sample_shift is not None:
         over["shift"] = args.sample_shift
     if args.enable_turbo:
