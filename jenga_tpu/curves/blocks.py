@@ -137,9 +137,15 @@ def build_curve_plan(grid: tuple[int, int, int], kind: str = "gilbert",
     """Build (and cache) the carving plan for one latent grid.
 
     ``kind``: "gilbert" (3-D curve, HunyuanVideo), "sliced" (per-frame 2-D
-    curve with corner continuation, Wan), or "linear" (identity, for
+    curve with corner continuation, Wan), "transposed" (gilbert with axes
+    reversed — the reference ``transpose_gilbert_mapping``,
+    `/root/reference/gilbert.py:274-330`), or "linear" (identity, for
     debugging/ablation).
     """
+    if kind == "transposed":
+        kind = "gilbert"
+        if transpose_order is None:
+            transpose_order = (2, 1, 0)
     return _build_curve_plan_cached(
         tuple(int(g) for g in grid), kind, int(block_size),
         None if transpose_order is None else tuple(transpose_order))
