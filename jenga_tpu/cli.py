@@ -236,6 +236,7 @@ def run_hyvideo_i2v(args):
     sampler = _hy_sampler(args, i2v=True)
     shapes = sampler.pipeline._stage_shapes(opts)
 
+    image = None
     if args.i2v_image_path:
         from .runtime import load_image
         image = load_image(args.i2v_image_path)
@@ -250,7 +251,15 @@ def run_hyvideo_i2v(args):
                          for (lat, _) in shapes]
 
     if sampler.text_encoder is not None:
-        txt, mask, txt2 = sampler.encode_prompt(args.prompt, mode="image")
+        lparams = sampler.text_encoder[2]
+        if image is not None and "llm" in lparams:
+            # full llava path: the prompt encoding sees the image
+            txt, mask, txt2 = sampler.encode_prompt_i2v(
+                args.prompt, image, mode="video",
+                i2v_condition_type=args.i2v_condition_type)
+        else:
+            txt, mask, txt2 = sampler.encode_prompt(args.prompt,
+                                                    mode="image")
     else:
         txt, mask, txt2 = _zero_hy_text(sampler.cfg)
     t0 = time.time()

@@ -265,3 +265,51 @@ def convert_xlm_roberta_wan(sd: dict, cfg, dtype=np.float32) -> dict:
         "embed_ln": _ln(sd, "norm"),
         "blocks": blocks,
     }
+
+
+def convert_clip_vision_hf(sd: dict, cfg, dtype=np.float32) -> dict:
+    """HF CLIPVisionModel state dict (``vision_model.*``) ->
+    ``jenga_tpu.text.clip`` vision tree (llava's tower layout)."""
+    sd = strip_prefix(sd, "vision_model.")
+    blocks = []
+    for i in range(cfg.num_layers):
+        pre = f"encoder.layers.{i}"
+        blocks.append({
+            "ln1": _ln(sd, f"{pre}.layer_norm1"),
+            "q": _linwb(sd, f"{pre}.self_attn.q_proj", dtype),
+            "k": _linwb(sd, f"{pre}.self_attn.k_proj", dtype),
+            "v": _linwb(sd, f"{pre}.self_attn.v_proj", dtype),
+            "o": _linwb(sd, f"{pre}.self_attn.out_proj", dtype),
+            "ln2": _ln(sd, f"{pre}.layer_norm2"),
+            "fc1": _linwb(sd, f"{pre}.mlp.fc1", dtype),
+            "fc2": _linwb(sd, f"{pre}.mlp.fc2", dtype),
+        })
+    w = _np(sd["embeddings.patch_embedding.weight"])   # [d, 3, p, p]
+    return {
+        "patch_embed": {"w": w.reshape(w.shape[0], -1).T.astype(dtype)},
+        "cls_token": _np(sd["embeddings.class_embedding"]).reshape(
+            1, 1, -1).astype(dtype),
+        "pos_embed": _np(
+            sd["embeddings.position_embedding.weight"]).astype(dtype),
+        # HF's (sic) "pre_layrnorm"
+        "pre_ln": _ln(sd, "pre_layrnorm"),
+        "blocks": blocks,
+        "post_ln": _ln(sd, "post_layernorm"),
+    }
+
+
+def convert_llava(sd: dict, llm_cfg, vision_cfg, dtype=np.float32) -> dict:
+    """HF LlavaForConditionalGeneration state dict -> {"vision",
+    "projector", "llm"} trees for ``jenga_tpu.text.llava``."""
+    # transformers >=4.52 moved weights under model.*
+    if any(k.startswith("model.language_model.") for k in sd):
+        sd = {k[len("model."):] if k.startswith("model.") else k: v
+              for k, v in sd.items()}
+    vision_sd = strip_prefix(sd, "vision_tower.")
+    proj_sd = strip_prefix(sd, "multi_modal_projector.")
+    return {
+        "vision": convert_clip_vision_hf(vision_sd, vision_cfg, dtype),
+        "projector": {"fc1": _linwb(proj_sd, "linear_1", dtype),
+                      "fc2": _linwb(proj_sd, "linear_2", dtype)},
+        "llm": convert_llama(sd, llm_cfg, dtype),
+    }

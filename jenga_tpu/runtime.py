@@ -150,8 +150,15 @@ class HunyuanVideoSampler:
         if sd is None:
             return None
         cfg = cls._llama_cfg_from_dir(path)
-        params = jax.tree.map(jnp.asarray, E.convert_llama(sd, cfg))
         tok = HFTokenizerAdapter(path, max_length=cls.TEXT_LEN)
+        if any("vision_tower" in k for k in sd):
+            # llava checkpoint: also build the vision tower + projector so
+            # I2V prompts can see the conditioning image
+            from .text.clip import CLIP_L_VISION_336
+            params = jax.tree.map(
+                jnp.asarray, E.convert_llava(sd, cfg, CLIP_L_VISION_336))
+            return (tok, cfg, params)
+        params = jax.tree.map(jnp.asarray, E.convert_llama(sd, cfg))
         return (tok, cfg, params)
 
     @staticmethod
@@ -221,6 +228,8 @@ class HunyuanVideoSampler:
         from .text import apply_hyvideo_template, crop_encoder_output
         from .text.llama import CROP_START, llama_hidden_states
         tok, lcfg, lparams = self.text_encoder
+        if "llm" in lparams:          # llava checkpoint: text-only path
+            lparams = lparams["llm"]
         crop = CROP_START[mode]
         ids, mask = tok(apply_hyvideo_template(prompt, mode),
                         max_length=self.TEXT_LEN + crop)
@@ -237,6 +246,53 @@ class HunyuanVideoSampler:
             _, p = clip_text_encode(cparams, ccfg, jnp.asarray(ids2))
             pooled = np.asarray(p[0])
         return hidden[0], mask[0], pooled
+
+    def encode_prompt_i2v(self, prompt: str, image, mode: str = "video",
+                          i2v_condition_type: str = "token_replace"):
+        """I2V prompt + image -> (states, mask, pooled): the full llava
+        path — 336px image through the vision tower + projector, spliced
+        at the <image> token, interleave-strided image tokens concatenated
+        with cropped text tokens (reference
+        `/root/reference/hyvideo_i2v/text_encoder/__init__.py:368-533`).
+        """
+        if self.text_encoder is None:
+            raise RuntimeError("no text encoder loaded")
+        tok, lcfg, lparams = self.text_encoder
+        if "llm" not in lparams:
+            raise RuntimeError(
+                "I2V prompt encoding needs a llava checkpoint (with "
+                "vision_tower weights) in text_encoder/")
+        from .text.clip import CLIP_L_VISION_336
+        from .text.llava import (I2V_TEMPLATE_INFO, extract_i2v_tokens,
+                                 llava_encode)
+        info = I2V_TEMPLATE_INFO[mode]
+        text = info["template"].format(prompt)
+        ids, mask = tok(text, max_length=self.TEXT_LEN + info["crop_start"])
+        image_tok_id = tok.tok.convert_tokens_to_ids("<image>")
+        pos_idx = np.nonzero(np.asarray(ids)[0] == image_tok_id)[0]
+        if len(pos_idx) != 1:
+            raise ValueError("template must contain exactly one <image> "
+                             "token in the tokenizer vocabulary")
+        vc = CLIP_L_VISION_336
+        x = _resize_chw(np.asarray(image), vc.image_size, vc.image_size)
+        x = (x - CLIP_MEAN[:, None, None]) / CLIP_STD[:, None, None]
+        depth = lcfg.num_layers - self.SKIP_LAYER
+        states, full_mask = llava_encode(
+            lparams, lcfg, jnp.asarray(ids), jnp.asarray(mask), x[None],
+            image_token_pos=int(pos_idx[0]), num_layers=depth,
+            vision_cfg=vc)
+        interleave = 2 if i2v_condition_type == "latent_concat" else 4
+        hidden, out_mask = extract_i2v_tokens(
+            np.asarray(states[-1]), np.asarray(full_mask), mode,
+            image_embed_interleave=interleave)
+        pooled = np.zeros((self.cfg.text_states_dim_2,), np.float32)
+        if self.text_encoder_2 is not None:
+            from .text.clip import clip_text_encode
+            tok2, ccfg, cparams = self.text_encoder_2
+            ids2, _ = tok2(prompt, max_length=77)
+            _, p = clip_text_encode(cparams, ccfg, jnp.asarray(ids2))
+            pooled = np.asarray(p[0])
+        return hidden[0], out_mask[0], pooled
 
     # ---------------------------------------------------------- vae
 

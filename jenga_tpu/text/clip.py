@@ -48,10 +48,15 @@ class CLIPVisionConfig:
     intermediate_size: int = 5120
     num_layers: int = 32
     num_heads: int = 16
+    act: str = "gelu"        # gelu (Wan ViT-H) | quick_gelu (HF CLIP-L)
     dtype: str = "float32"
 
 
 CLIP_H_VISION = CLIPVisionConfig()
+# llava's vision tower (CLIP ViT-L/14-336, HF layout)
+CLIP_L_VISION_336 = CLIPVisionConfig(
+    image_size=336, hidden_size=1024, intermediate_size=4096,
+    num_layers=24, num_heads=16, act="quick_gelu")
 
 
 def _lin(key, a, b, dtype):
@@ -152,13 +157,16 @@ def init_clip_vision_params(key, cfg: CLIPVisionConfig = CLIP_H_VISION):
 
 
 def clip_vision_encode(params, cfg: CLIPVisionConfig, images,
-                       use_31_block: bool = False):
+                       use_31_block: bool = False,
+                       feature_layer: int | None = None):
     """images [B, 3, H, W] (normalized) -> token features [B, 1+P, d]
     (cls first), the layout Wan I2V consumes as ``clip_fea`` [B, 257, d].
 
     ``use_31_block`` stops before the last transformer block and skips the
     post-norm — how Wan taps visual features
-    (`/root/reference/wan/modules/clip.py:295-300,541`)."""
+    (`/root/reference/wan/modules/clip.py:295-300,541`). ``feature_layer``
+    (negative, HF ``vision_feature_layer`` convention) taps hidden_states
+    [feature_layer] without the post-norm — llava uses -2."""
     b, c, hh, ww = images.shape
     p = cfg.patch_size
     gh, gw = hh // p, ww // p
@@ -171,10 +179,17 @@ def clip_vision_encode(params, cfg: CLIPVisionConfig, images,
                                                                + 1]
     h = L.layer_norm(h, params["pre_ln"]["w"], params["pre_ln"]["b"],
                      eps=1e-5)
-    blocks = params["blocks"][:-1] if use_31_block else params["blocks"]
-    for blk in blocks:
-        h = _encoder_block(blk, h, cfg.num_heads, act=jax.nn.gelu)
+    act = (lambda x: x * jax.nn.sigmoid(1.702 * x)) \
+        if cfg.act == "quick_gelu" else jax.nn.gelu
+    n_blocks = len(params["blocks"])
     if use_31_block:
+        n_blocks -= 1
+    elif feature_layer is not None:
+        # hidden_states[-1] = after all blocks; [-2] = one block earlier
+        n_blocks += feature_layer + 1
+    for blk in params["blocks"][:n_blocks]:
+        h = _encoder_block(blk, h, cfg.num_heads, act=act)
+    if use_31_block or feature_layer is not None:
         return h
     return L.layer_norm(h, params["post_ln"]["w"], params["post_ln"]["b"],
                         eps=1e-5)

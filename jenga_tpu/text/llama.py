@@ -96,15 +96,17 @@ def init_llama_params(key, cfg: LlamaConfig):
 
 
 def llama_hidden_states(params, cfg: LlamaConfig, token_ids, attention_mask,
-                        num_layers: int | None = None):
+                        num_layers: int | None = None, inputs_embeds=None):
     """Run the causal LM; returns the hidden state after each block
     as a list (index 0 = embeddings), mirroring HF ``hidden_states``.
 
     ``num_layers`` truncates the stack (only layers up to the needed
     skip-layer depth need computing — the reference runs all 32 then
-    indexes; we stop early, an easy TPU win).
+    indexes; we stop early, an easy TPU win). ``inputs_embeds`` bypasses
+    the embedding lookup (llava splices image embeddings in).
     """
-    h = params["embed"][token_ids]
+    h = (inputs_embeds if inputs_embeds is not None
+         else params["embed"][token_ids])
     b, s, d = h.shape
     n, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     cos, sin = L.rope_table_1d(np.arange(s), hd, theta=cfg.rope_theta)

@@ -1,0 +1,93 @@
+"""Llava multimodal encoder (HY-I2V conditioning) vs HF transformers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from jenga_tpu.convert.encoders import convert_llava
+from jenga_tpu.text import llama as llama_lib
+from jenga_tpu.text.clip import CLIPVisionConfig
+from jenga_tpu.text.llava import extract_i2v_tokens, llava_encode
+
+
+def _tiny_hf_llava():
+    from transformers import (CLIPVisionConfig as HFVis, LlamaConfig,
+                              LlavaConfig, LlavaForConditionalGeneration)
+    vis = HFVis(hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+                num_attention_heads=4, image_size=28, patch_size=14,
+                num_channels=3)
+    txt = LlamaConfig(vocab_size=64, hidden_size=48, intermediate_size=96,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, rope_theta=500000.0,
+                      rms_norm_eps=1e-5)
+    cfg = LlavaConfig(vision_config=vis, text_config=txt,
+                      image_token_index=63,
+                      vision_feature_layer=-2,
+                      vision_feature_select_strategy="default")
+    torch.manual_seed(0)
+    return LlavaForConditionalGeneration(cfg).eval()
+
+
+def test_llava_matches_transformers():
+    model = _tiny_hf_llava()
+    n_patches = (28 // 14) ** 2   # 4
+    pos = 3                       # <image> token position in the template
+    torch.manual_seed(1)
+    pixels = torch.randn(1, 3, 28, 28)
+
+    # HF expects one placeholder per patch; ours expands a single token.
+    base_ids = torch.randint(0, 62, (1, 10))
+    hf_ids = torch.cat([base_ids[:, :pos],
+                        torch.full((1, n_patches), 63),
+                        base_ids[:, pos + 1:]], dim=1)
+    mask_hf = torch.ones_like(hf_ids)
+    with torch.no_grad():
+        out = model(input_ids=hf_ids, attention_mask=mask_hf,
+                    pixel_values=pixels, output_hidden_states=True)
+
+    llm_cfg = llama_lib.LlamaConfig(
+        vocab_size=64, hidden_size=48, intermediate_size=96, num_layers=2,
+        num_heads=4, num_kv_heads=2, rope_theta=500000.0, dtype="float32")
+    vis_cfg = CLIPVisionConfig(image_size=28, patch_size=14, hidden_size=32,
+                               intermediate_size=64, num_layers=3,
+                               num_heads=4, act="quick_gelu")
+    params = jax.tree.map(jnp.asarray,
+                          convert_llava(model.state_dict(), llm_cfg,
+                                        vis_cfg))
+    states, mask = llava_encode(
+        params, llm_cfg, jnp.asarray(base_ids.numpy()),
+        jnp.ones((1, 10), jnp.int32), jnp.asarray(pixels.numpy()),
+        image_token_pos=pos, vision_cfg=vis_cfg)
+    ours = np.asarray(states[-1])
+    ref = out.hidden_states[-1].numpy()
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=5e-4)
+
+
+def test_extract_i2v_tokens_geometry():
+    """Strided image tokens + cropped text tokens, reference constants
+    (image [5:581:interleave], text from crop_start-1+576)."""
+    L = 581 + 40
+    hidden = np.arange(L, dtype=np.float32)[None, :, None]
+    mask = np.ones((1, L), np.int32)
+    h, m = extract_i2v_tokens(hidden, mask, mode="image",
+                              image_embed_interleave=4)
+    n_img = len(range(5, 581, 4))
+    text_start = 36 - 1 + 576
+    assert h.shape[1] == n_img + (L - text_start)
+    assert h[0, 0, 0] == 5.0                  # first strided image token
+    assert h[0, n_img, 0] == float(text_start)  # first text token
+    assert m.shape[1] == h.shape[1]
+
+
+def test_extract_video_mode_crop():
+    L = 581 + 200
+    hidden = np.zeros((1, L, 2), np.float32)
+    mask = np.ones((1, L), np.int32)
+    h, _ = extract_i2v_tokens(hidden, mask, mode="video",
+                              image_embed_interleave=2)
+    n_img = len(range(5, 581, 2))
+    assert h.shape[1] == n_img + (L - (103 - 1 + 576))

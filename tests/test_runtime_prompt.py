@@ -131,3 +131,60 @@ def test_wan_encode_prompt_trims(tmp_path, monkeypatch):
     sampler.t5 = (tok, cfg, params)
     ctx = sampler.encode_prompt("a cat walks")
     assert ctx.shape == (3, 16)   # 3 real tokens, trimmed
+
+
+def test_hy_encode_prompt_i2v_llava(tmp_path, monkeypatch):
+    """A llava checkpoint dir wires the full image-aware I2V prompt path."""
+    import jenga_tpu.runtime as rt
+    from transformers import (CLIPVisionConfig as HFVis, LlamaConfig,
+                              LlavaConfig, LlavaForConditionalGeneration)
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    te = tmp_path / "text_encoder"
+    te.mkdir()
+    vis = HFVis(hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+                num_attention_heads=4, image_size=28, patch_size=14)
+    txt_cfg = LlamaConfig(vocab_size=64, hidden_size=48,
+                          intermediate_size=96, num_hidden_layers=3,
+                          num_attention_heads=4, num_key_value_heads=2,
+                          rms_norm_eps=1e-5)
+    torch.manual_seed(0)
+    model = LlavaForConditionalGeneration(
+        LlavaConfig(vision_config=vis, text_config=txt_cfg,
+                    image_token_index=63)).eval()
+    model.save_pretrained(str(te))
+    vocab = {"<pad>": 0, "<unk>": 1, "a": 2, "cat": 3, "<image>": 63}
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.add_special_tokens(["<image>"])   # survive pre-tokenization
+    tok.enable_padding(pad_id=0, pad_token="<pad>")
+    tok.save(str(te / "tokenizer.json"))
+    (te / "tokenizer_config.json").write_text(json.dumps(
+        {"tokenizer_class": "PreTrainedTokenizerFast", "pad_token": "<pad>",
+         "unk_token": "<unk>", "model_max_length": 4096}))
+
+    _stub_dit_init(monkeypatch)
+    monkeypatch.setattr(rt.HunyuanVideoSampler, "TEXT_LEN", 64)
+    # tiny vision tower: patch the default vision cfg the runtime uses
+    from jenga_tpu.text.clip import CLIPVisionConfig
+    tiny_vis = CLIPVisionConfig(image_size=28, patch_size=14,
+                                hidden_size=32, intermediate_size=64,
+                                num_layers=3, num_heads=4,
+                                act="quick_gelu")
+    import jenga_tpu.convert.encoders as E
+    import jenga_tpu.text.clip as clip_mod
+    monkeypatch.setattr(rt, "CLIP_MEAN", rt.CLIP_MEAN)
+    monkeypatch.setattr(clip_mod, "CLIP_L_VISION_336", tiny_vis)
+    # runtime imports CLIP_L_VISION_336 by name inside functions
+    sampler = rt.HunyuanVideoSampler.from_pretrained(str(tmp_path))
+    assert "llm" in sampler.text_encoder[2]
+
+    image = np.random.rand(3, 40, 30).astype(np.float32)
+    hidden, mask, pooled = sampler.encode_prompt_i2v(
+        "a cat", image, mode="video", i2v_condition_type="token_replace")
+    # 576/4 strided image tokens would apply at production geometry; with
+    # the tiny tower (4 patches) the splice still happens — sequence must
+    # contain image-token rows followed by text rows
+    assert hidden.ndim == 2 and hidden.shape[1] == 48
+    assert mask.shape[0] == hidden.shape[0]
+    assert np.isfinite(hidden).all()
