@@ -509,9 +509,11 @@ def hyvideo_embed(params, cfg: HYVideoConfig, x, t, text_states, text_mask,
 
 
 def hyvideo_trunk(params, cfg: HYVideoConfig, img, txt, aux,
-                  carve: HYCarve | None = None, top_k=None, mesh=None):
+                  carve: HYCarve | None = None, top_k=None, mesh=None,
+                  remat: bool = False):
     """Double + single block stack; input/output img is curve-ordered (the
-    fixed-list skip residual lives on this img stream)."""
+    fixed-list skip residual lives on this img stream). ``remat`` wraps
+    blocks in ``jax.checkpoint`` (activation memory for fine-tuning)."""
     vec = aux["vec"]
     rope_cos, rope_sin = aux["rope_cos"], aux["rope_sin"]
     seqlen = img.shape[1] + txt.shape[1]
@@ -520,13 +522,23 @@ def hyvideo_trunk(params, cfg: HYVideoConfig, img, txt, aux,
                                           mask_img=tr["mask_img"])
     tr_full = None if tr is None else dict(vec=tr["vec"],
                                            mask_full=tr["mask_full"])
+
+    def run_double(p, img, txt):
+        return _double_block(p, img, txt, vec, cfg, carve, rope_cos,
+                             rope_sin, seqlen, top_k, mesh, tr_img)
+
+    def run_single(p, x):
+        return _single_block(p, x, vec, cfg, carve, rope_cos, rope_sin,
+                             aux["txt_len"], seqlen, top_k, mesh, tr_full)
+
+    if remat:
+        run_double = jax.checkpoint(run_double)
+        run_single = jax.checkpoint(run_single)
     for p in params["double_blocks"]:
-        img, txt = _double_block(p, img, txt, vec, cfg, carve, rope_cos,
-                                 rope_sin, seqlen, top_k, mesh, tr_img)
+        img, txt = run_double(p, img, txt)
     x = jnp.concatenate([img, txt], axis=1)
     for p in params["single_blocks"]:
-        x = _single_block(p, x, vec, cfg, carve, rope_cos, rope_sin,
-                          aux["txt_len"], seqlen, top_k, mesh, tr_full)
+        x = run_single(p, x)
     return x[:, :img.shape[1]]
 
 

@@ -407,19 +407,31 @@ def wan_embed(params, cfg: WanConfig, x, t, context,
 
 
 def wan_trunk(params, cfg: WanConfig, h, aux,
-              carve: WanCarve | None = None, top_k=None, mesh=None):
+              carve: WanCarve | None = None, top_k=None, mesh=None,
+              remat: bool = False):
     """The block stack; input/output are curve-ordered hidden states so the
     TeaCache residual ``h_out - h_in`` lives in this space
-    (`/root/reference/jenga_wan.py:623-648`)."""
+    (`/root/reference/jenga_wan.py:623-648`).
+
+    ``remat`` wraps each block in ``jax.checkpoint`` — trades FLOPs for
+    activation memory under ``jax.grad`` (LoRA fine-tuning at video
+    lengths); a no-op for inference-only forwards.
+    """
     if carve is not None:
         rope_cos = jnp.asarray(carve.rope_cos)
         rope_sin = jnp.asarray(carve.rope_sin)
     else:
         rope_cos, rope_sin = map(jnp.asarray,
                                  wan_rope_tables(cfg, aux["grid"]))
+
+    def run(p, h):
+        return _block(p, h, aux["e6"], aux["ctx"], cfg, carve, rope_cos,
+                      rope_sin, aux["image_tokens"], top_k, mesh)
+
+    if remat:
+        run = jax.checkpoint(run)
     for p in params["blocks"]:
-        h = _block(p, h, aux["e6"], aux["ctx"], cfg, carve, rope_cos,
-                   rope_sin, aux["image_tokens"], top_k, mesh)
+        h = run(p, h)
     return h
 
 
@@ -441,7 +453,7 @@ def wan_head(params, cfg: WanConfig, h, aux,
 
 def wan_forward(params, cfg: WanConfig, x, t, context,
                 carve: WanCarve | None = None, clip_fea=None, y=None,
-                top_k=None, mesh=None):
+                top_k=None, mesh=None, remat: bool = False):
     """Full denoise velocity prediction.
 
     Args:
@@ -459,5 +471,5 @@ def wan_forward(params, cfg: WanConfig, x, t, context,
         from jax.sharding import NamedSharding, PartitionSpec as P
         h = jax.lax.with_sharding_constraint(
             h, NamedSharding(mesh, P(None, "sp", None)))
-    h = wan_trunk(params, cfg, h, aux, carve, top_k, mesh)
+    h = wan_trunk(params, cfg, h, aux, carve, top_k, mesh, remat=remat)
     return wan_head(params, cfg, h, aux, carve)

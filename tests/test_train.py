@@ -239,3 +239,44 @@ def test_lora_finetune_loss_decreases():
     # signal is a substantial, steady decrease (grads flow end-to-end)
     assert losses[-1] < 0.8 * losses[0], (losses[0], losses[-1])
     assert min(losses[-5:]) <= min(losses)  # still improving at the end
+
+
+def test_remat_forward_matches_and_grads_flow():
+    """jax.checkpoint'd trunk gives identical outputs and works under grad
+    (the memory/FLOPs trade for fine-tuning at video lengths)."""
+    from jenga_tpu.models.wan import WanConfig, init_wan_params, wan_forward
+
+    cfg = WanConfig(dim=32, ffn_dim=64, freq_dim=16, num_heads=2,
+                    num_layers=2, text_dim=16, text_len=4, dtype="float32")
+    params = init_wan_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 2, 8, 8))
+    t = jnp.array([500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 16))
+
+    out = wan_forward(params, cfg, x, t, ctx)
+    out_r = wan_forward(params, cfg, x, t, ctx, remat=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_r),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(p):
+        return jnp.mean(wan_forward(p, cfg, x, t, ctx, remat=True) ** 2)
+
+    g = jax.grad(loss)(params)
+    gn = np.asarray(jnp.linalg.norm(g["blocks"][0]["ffn"]["fc1"]["w"]))
+    assert np.isfinite(gn)
+
+
+def test_pipeline_seed_determinism():
+    """Same options + seed -> bit-identical latents across runs."""
+    from jenga_tpu.models.wan import WanConfig, init_wan_params
+    from jenga_tpu.pipelines.wan_t2v import WanT2VOptions, WanT2VPipeline
+
+    cfg = WanConfig(dim=64, ffn_dim=128, freq_dim=32, num_heads=2,
+                    num_layers=1, text_dim=32, text_len=8, dtype="float32")
+    pipe = WanT2VPipeline(cfg, init_wan_params(jax.random.PRNGKey(0), cfg))
+    opts = WanT2VOptions(size=(64, 64), frame_num=5, sampling_steps=2,
+                         teacache_thresh=None, seed=123)
+    ctx = jnp.zeros((8, cfg.text_dim))
+    a = np.asarray(pipe.generate(ctx, ctx, opts, decode=False))
+    b = np.asarray(pipe.generate(ctx, ctx, opts, decode=False))
+    np.testing.assert_array_equal(a, b)
