@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--i2v-condition-type", default="token_replace",
                    choices=["token_replace", "latent_concat"])
     i.add_argument("--i2v-stability", action="store_true", default=True)
+    i.add_argument("--i2v-resolution", default="720p",
+                   choices=["720p", "540p", "360p"],
+                   help="aspect-ratio bucket base when --video-size is "
+                        "not given")
+    i.add_argument("--lora-path", type=str, default=None,
+                   help="kohya LoRA safetensors to merge into the DiT")
 
     w = sub.add_parser("wan-t2v", help="Wan2.1 text-to-video")
     _common(w)
@@ -234,15 +240,37 @@ def run_hyvideo_i2v(args):
     opts = HYI2VOptions(**merged)
 
     sampler = _hy_sampler(args, i2v=True)
-    shapes = sampler.pipeline._stage_shapes(opts)
 
     image = None
     if args.i2v_image_path:
         from .runtime import load_image
         image = load_image(args.i2v_image_path)
-        image_latents = [
-            np.asarray(sampler.encode_image_latent(image, g[1], g[2]))
-            for (_, g) in shapes]
+        if not args.video_size:
+            # aspect-ratio bucketing (reference
+            # `/root/reference/jenga_hyi2v.py:284-297`)
+            from .pipelines.hyvideo_i2v import (generate_crop_size_list,
+                                                get_closest_ratio)
+            bucket_base = {"720p": 960, "540p": 720, "360p": 480}[
+                args.i2v_resolution]
+            buckets = generate_crop_size_list(bucket_base, 32)
+            ratios = [round(float(h) / float(w), 5) for h, w in buckets]
+            (w, h), _ = get_closest_ratio(image.shape[1], image.shape[2],
+                                          ratios, buckets)
+            merged["size"] = (w, h)
+            opts = HYI2VOptions(**merged)
+    shapes = sampler.pipeline._stage_shapes(opts)
+    if image is not None:
+        if sampler.vae_params is not None:
+            # per-stage conditioning latents at each stage's LATENT dims
+            image_latents = [
+                np.asarray(sampler.encode_image_latent(image, lat[1],
+                                                       lat[2]))
+                for (lat, _) in shapes]
+        else:
+            print("no VAE in ckpt dir: zero conditioning latents "
+                  "(smoke mode)")
+            image_latents = [np.zeros((16, 1, lat[1], lat[2]), np.float32)
+                             for (lat, _) in shapes]
     else:
         if not args.tiny:
             raise SystemExit("hyvideo-i2v requires --i2v-image-path "
