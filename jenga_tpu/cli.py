@@ -52,6 +52,9 @@ def _common(p: argparse.ArgumentParser):
                    help="tiny random model (CI smoke runs)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
+    p.add_argument("--ulysses-degree", type=int, default=1,
+                   help="sequence-parallel degree (mesh over the first N "
+                        "devices; Ulysses attention + FSDP params)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -201,7 +204,8 @@ def _hy_sampler(args, i2v: bool):
     return HunyuanVideoSampler.from_pretrained(
         args.ckpt_dir, i2v=i2v, seed=args.seed,
         use_fp8=getattr(args, "use_fp8", False),
-        lora_path=getattr(args, "lora_path", None))
+        lora_path=getattr(args, "lora_path", None),
+        sp_degree=args.ulysses_degree)
 
 
 def _zero_hy_text(cfg, length=256):
@@ -361,7 +365,8 @@ def _wan_sampler(args, i2v: bool):
         task = "i2v-14B"
     return WanSampler.from_pretrained(
         task, args.ckpt_dir, seed=args.seed,
-        t5_on_host=getattr(args, "t5_cpu", False))
+        t5_on_host=getattr(args, "t5_cpu", False),
+        sp_degree=args.ulysses_degree)
 
 
 def run_wan_i2v(args):

@@ -63,10 +63,12 @@ class HYVideoT2VPipeline:
 
     VAE_STRIDE = (4, 8, 8)  # the "884" causal VAE
 
-    def __init__(self, cfg: hy.HYVideoConfig, params, vae_decode=None):
+    def __init__(self, cfg: hy.HYVideoConfig, params, vae_decode=None,
+                 mesh=None):
         self.cfg = cfg
         self.params = params
         self.vae_decode = vae_decode
+        self.mesh = mesh    # sequence-parallel mesh (Ulysses in every attn)
 
     # ---------------------------------------------------------- stages
 
@@ -86,13 +88,14 @@ class HYVideoT2VPipeline:
     def _stage_fns(self, carve, batch: int):
         # params is an explicit argument (closing over the tree would bake
         # multi-GB of weights into the HLO as constants).
-        cfg = self.cfg
+        cfg, mesh = self.cfg, self.mesh
 
         @jax.jit
         def full(params, x, t, txt, mask, txt2, guidance):
             img, txth, aux = hy.hyvideo_embed(params, cfg, x, t, txt, mask,
                                               txt2, carve, guidance)
-            img2 = hy.hyvideo_trunk(params, cfg, img, txth, aux, carve)
+            img2 = hy.hyvideo_trunk(params, cfg, img, txth, aux, carve,
+                                    mesh=mesh)
             v = hy.hyvideo_head(params, cfg, img2, aux, carve)
             return v, img2 - img
 

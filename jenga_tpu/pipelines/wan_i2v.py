@@ -65,13 +65,14 @@ class WanI2VPipeline(WanT2VPipeline):
     def _stage_fns_i2v(self, carve):
         # params is an explicit argument (closing over the tree would bake
         # multi-GB of weights into the HLO as constants).
-        cfg = self.cfg
+        cfg, mesh = self.cfg, self.mesh
 
         @jax.jit
         def full(params, x2, t2, ctx2, y2, clip2, top_k):
             h0, aux = wan_lib.wan_embed(params, cfg, x2, t2, ctx2, carve,
                                         clip_fea=clip2, y=y2)
-            h1 = wan_lib.wan_trunk(params, cfg, h0, aux, carve, top_k)
+            h1 = wan_lib.wan_trunk(params, cfg, h0, aux, carve, top_k,
+                                   mesh=mesh)
             v = wan_lib.wan_head(params, cfg, h1, aux, carve)
             return v, h1 - h0
 
@@ -80,7 +81,7 @@ class WanI2VPipeline(WanT2VPipeline):
             dc = dataclasses.replace(carve, sa_drop_rate=0.0)
             h0, aux = wan_lib.wan_embed(params, cfg, x2, t2, ctx2, dc,
                                         clip_fea=clip2, y=y2)
-            h1 = wan_lib.wan_trunk(params, cfg, h0, aux, dc)
+            h1 = wan_lib.wan_trunk(params, cfg, h0, aux, dc, mesh=mesh)
             v = wan_lib.wan_head(params, cfg, h1, aux, dc)
             return v, h1 - h0
 

@@ -70,11 +70,13 @@ class WanT2VPipeline:
     VAE_STRIDE = (4, 8, 8)
 
     def __init__(self, cfg: wan_lib.WanConfig, params,
-                 model_id: str = "wan-t2v-1.3b", vae_decode=None):
+                 model_id: str = "wan-t2v-1.3b", vae_decode=None,
+                 mesh=None):
         self.cfg = cfg
         self.params = params
         self.model_id = model_id
         self.vae_decode = vae_decode
+        self.mesh = mesh    # sequence-parallel mesh (Ulysses in every attn)
 
     # ---------------------------------------------------------- internals
 
@@ -96,12 +98,13 @@ class WanT2VPipeline:
         the tree would capture multi-GB of weights as compile-time
         constants and blow up lowering at 1.3B/14B scale.
         """
-        cfg = self.cfg
+        cfg, mesh = self.cfg, self.mesh
 
         @jax.jit
         def full(params, x2, t2, ctx2, top_k):
             h0, aux = wan_lib.wan_embed(params, cfg, x2, t2, ctx2, carve)
-            h1 = wan_lib.wan_trunk(params, cfg, h0, aux, carve, top_k)
+            h1 = wan_lib.wan_trunk(params, cfg, h0, aux, carve, top_k,
+                                   mesh=mesh)
             v = wan_lib.wan_head(params, cfg, h1, aux, carve)
             return v, h1 - h0
 
@@ -110,7 +113,8 @@ class WanT2VPipeline:
             dense_carve = dataclasses.replace(carve, sa_drop_rate=0.0)
             h0, aux = wan_lib.wan_embed(params, cfg, x2, t2, ctx2,
                                         dense_carve)
-            h1 = wan_lib.wan_trunk(params, cfg, h0, aux, dense_carve)
+            h1 = wan_lib.wan_trunk(params, cfg, h0, aux, dense_carve,
+                                   mesh=mesh)
             v = wan_lib.wan_head(params, cfg, h1, aux, dense_carve)
             return v, h1 - h0
 

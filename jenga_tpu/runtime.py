@@ -71,21 +71,29 @@ class HunyuanVideoSampler:
     SKIP_LAYER = 2          # --hidden-state-skip-layer default
 
     def __init__(self, cfg, params, vae_params=None, i2v=False,
-                 text_encoder=None, text_encoder_2=None):
+                 text_encoder=None, text_encoder_2=None, mesh=None):
         self.cfg = cfg
+        if mesh is not None:
+            from .parallel.mesh import shard_params_fsdp
+            params = shard_params_fsdp(params, mesh)
         self.params = params
         self.vae_params = vae_params
         self.vae_cfg = vae_hy.HYVAE_884_16C
         self.text_encoder = text_encoder        # (tokenizer, cfg, params)
         self.text_encoder_2 = text_encoder_2    # (tokenizer, cfg, params)
         pipe_cls = HYVideoI2VPipeline if i2v else HYVideoT2VPipeline
-        self.pipeline = pipe_cls(cfg, params, vae_decode=self.decode_latents)
+        self.pipeline = pipe_cls(cfg, params, vae_decode=self.decode_latents,
+                                 mesh=mesh)
 
     @classmethod
     def from_pretrained(cls, ckpt_dir: str | None = None, i2v: bool = False,
                         seed: int = 0, dtype: str = "bfloat16",
                         use_fp8: bool = False, lora_path: str | None = None,
-                        lora_alpha: float = 1.0):
+                        lora_alpha: float = 1.0, sp_degree: int = 1):
+        """``sp_degree`` > 1 builds a sequence-parallel mesh over the first
+        N devices (Ulysses in every attention + FSDP param sharding) —
+        the reference's --ulysses-degree
+        (`/root/reference/jenga_hyvideo_multigpu.py:104-204`)."""
         cfg = dataclasses.replace(
             hy.HUNYUAN_VIDEO_I2V if i2v else hy.HUNYUAN_VIDEO_T2V,
             dtype=dtype)
@@ -126,8 +134,13 @@ class HunyuanVideoSampler:
         if use_fp8:
             from .models.fp8 import quantize_tree_fp8
             params = quantize_tree_fp8(params)
+        mesh = None
+        if sp_degree and sp_degree > 1:
+            from .parallel.mesh import make_sp_mesh
+            mesh = make_sp_mesh(jax.devices()[:sp_degree])
         return cls(cfg, params, vae_params, i2v=i2v,
-                   text_encoder=text_encoder, text_encoder_2=text_encoder_2)
+                   text_encoder=text_encoder, text_encoder_2=text_encoder_2,
+                   mesh=mesh)
 
     # ---------------------------------------------------------- encoders
 
@@ -344,8 +357,11 @@ class WanSampler:
     CLIP_CKPT = "models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth"
 
     def __init__(self, cfg, params, vae_params=None, model_id="wan-t2v-1.3b",
-                 t5=None, clip_vision=None):
+                 t5=None, clip_vision=None, mesh=None):
         self.cfg = cfg
+        if mesh is not None:
+            from .parallel.mesh import shard_params_fsdp
+            params = shard_params_fsdp(params, mesh)
         self.params = params
         self.vae_params = vae_params
         self.vae_cfg = vae_wan.WAN_VAE_16Z
@@ -354,15 +370,17 @@ class WanSampler:
         i2v = cfg.model_type == "i2v"
         pipe_cls = WanI2VPipeline if i2v else WanT2VPipeline
         self.pipeline = pipe_cls(cfg, params, model_id=model_id,
-                                 vae_decode=self.decode_latents)
+                                 vae_decode=self.decode_latents, mesh=mesh)
 
     @classmethod
     def from_pretrained(cls, task: str = "t2v-1.3B",
                         ckpt_dir: str | None = None, seed: int = 0,
-                        dtype: str = "bfloat16", t5_on_host: bool = False):
+                        dtype: str = "bfloat16", t5_on_host: bool = False,
+                        sp_degree: int = 1):
         """``t5_on_host`` keeps the UMT5 weights + encode on host CPU
         (reference ``--t5_cpu``, `/root/reference/wan/text2video.py:60-66`)
-        — on TPU this frees ~9GB HBM for the 14B DiT."""
+        — on TPU this frees ~9GB HBM for the 14B DiT. ``sp_degree`` > 1
+        builds an Ulysses sequence-parallel mesh + FSDP param sharding."""
         cfg = dataclasses.replace(cls.CONFIGS[task], dtype=dtype)
         model_id = {"t2v-1.3B": "wan-t2v-1.3b", "t2v-14B": "wan-t2v-14b",
                     "i2v-14B": "wan-i2v-720p"}[task]
@@ -395,8 +413,12 @@ class WanSampler:
                 clip_vision = cls._load_clip_vision(ckpt_dir)
         if params is None:
             params = wan_lib.init_wan_params(jax.random.PRNGKey(seed), cfg)
+        mesh = None
+        if sp_degree and sp_degree > 1:
+            from .parallel.mesh import make_sp_mesh
+            mesh = make_sp_mesh(jax.devices()[:sp_degree])
         return cls(cfg, params, vae_params, model_id=model_id, t5=t5,
-                   clip_vision=clip_vision)
+                   clip_vision=clip_vision, mesh=mesh)
 
     @classmethod
     def _load_t5(cls, ckpt_dir, on_host: bool = False):

@@ -131,3 +131,24 @@ def test_hyvideo_forward_mesh_joint_text():
                                  carve=carve)
     np.testing.assert_allclose(np.asarray(out_mesh), np.asarray(out_single),
                                atol=3e-4, rtol=3e-4)
+
+
+def test_wan_pipeline_generate_on_mesh(mesh):
+    """Full pipeline generate with mesh: Ulysses-parallel stage fns match
+    the single-device pipeline bit-for-bit at matched seeds."""
+    from jenga_tpu.models.wan import WanConfig, init_wan_params
+    from jenga_tpu.pipelines.wan_t2v import WanT2VOptions, WanT2VPipeline
+
+    cfg = WanConfig(dim=64 * 8, ffn_dim=128, freq_dim=32, num_heads=8,
+                    num_layers=1, text_dim=32, text_len=8, dtype="float32")
+    params = init_wan_params(jax.random.PRNGKey(0), cfg)
+    opts = WanT2VOptions(size=(256, 128), frame_num=5, sampling_steps=2,
+                         teacache_thresh=None, sa_drop_rates=(0.5, 0.5),
+                         p_remain=0.9, seed=3)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (8, cfg.text_dim))
+
+    pipe_single = WanT2VPipeline(cfg, params)
+    pipe_mesh = WanT2VPipeline(cfg, params, mesh=mesh)
+    a = np.asarray(pipe_single.generate(ctx, ctx, opts, decode=False))
+    b = np.asarray(pipe_mesh.generate(ctx, ctx, opts, decode=False))
+    np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-4)
