@@ -15,12 +15,14 @@ patch-embedding convs become matmul weights (kernel flattened in
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 __all__ = ["load_torch_state_dict", "convert_wan_dit", "convert_hyvideo_dit",
            "convert_hyvae", "convert_wanvae", "save_params", "load_params",
            "load_safetensors_state_dict", "load_fp8_state_dict",
-           "merge_lora"]
+           "merge_lora", "save_params_orbax", "load_params_orbax"]
 
 
 def _np(t):
@@ -506,3 +508,25 @@ def merge_lora(sd: dict, lora, alpha: float = 1.0, prefix: str = "") -> dict:
                                       @ down.to(torch.float32))
         sd[target] = (w.to(torch.float32) + delta).to(w.dtype)
     return sd
+
+
+def save_params_orbax(path: str, params) -> None:
+    """Save a param pytree with orbax (the TPU-native checkpoint format:
+    sharded, async-capable, zarr-backed — preferred over .npz for 14B)."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_params_orbax(path: str, like=None):
+    """Load an orbax checkpoint; ``like`` (a matching pytree of arrays or
+    ShapeDtypeStructs) restores with placement/dtype control."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    if like is not None:
+        import jax
+        target = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), like)
+        return ckptr.restore(os.path.abspath(path), target)
+    return ckptr.restore(os.path.abspath(path))

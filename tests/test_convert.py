@@ -310,3 +310,18 @@ def test_convert_wanvae_structure_and_run():
     out = wanvae_decode(jax.tree.map(jnp.asarray, params), z, cfg,
                         normalize=False)
     assert out.shape == (1, 3, 5, 32, 32)
+
+
+def test_orbax_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jenga_tpu.convert import load_params_orbax, save_params_orbax
+    tree = {"a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+            "blocks": [{"w": jnp.ones((4, 4), jnp.bfloat16)}]}
+    path = str(tmp_path / "ckpt")
+    save_params_orbax(path, tree)
+    back = load_params_orbax(path, like=tree)
+    np.testing.assert_array_equal(np.asarray(back["a"]),
+                                  np.asarray(tree["a"]))
+    assert back["blocks"][0]["w"].dtype == jnp.bfloat16
