@@ -346,9 +346,9 @@ def _joint_attention(q, k, v, cfg: HYVideoConfig, carve: HYCarve | None,
         block_neighbors=jnp.asarray(carve.block_neighbors))
     full = jnp.ones((b, n, num_blocks - tsb, num_blocks), bool)
     mask = jnp.concatenate([mask, full], axis=2)
-    lists = pack_block_lists(*mask_to_block_lists(mask))
+    lists = pack_block_lists(*mask_to_block_lists(mask), seqlens=seqlen)
     out = block_sparse_attention(
-        qt, kt, vt, lists, seqlen=seqlen, text_start_block=tsb,
+        qt, kt, vt, lists, text_start_block=tsb,
         text_amp=carve.text_amp)
     return out.transpose(0, 2, 1, 3)[:, :s].reshape(b, s, n * hd)
 
@@ -503,8 +503,19 @@ def hyvideo_embed(params, cfg: HYVideoConfig, x, t, text_states, text_mask,
         rope_cos, rope_sin = map(
             jnp.asarray, hy_rope_tables(cfg, grid))
 
+    # per-sample valid joint-sequence lengths: img tokens + REAL text
+    # tokens; padded text keys are masked out of attention like the
+    # reference's cu_seqlens do (`/root/reference/hyvideo/modules/
+    # attenion.py:34-57`, carved path `attention_block_triton_diffres.py:
+    # 327-329`).
+    if text_mask is not None:
+        seqlens = img.shape[1] + jnp.sum(
+            text_mask.astype(jnp.int32), axis=-1)
+    else:
+        seqlens = jnp.full((b,), img.shape[1] + txt.shape[1], jnp.int32)
+
     aux = dict(vec=vec, grid=grid, rope_cos=rope_cos, rope_sin=rope_sin,
-               txt_len=txt.shape[1], tr=tr)
+               txt_len=txt.shape[1], tr=tr, seqlens=seqlens)
     return img, txt, aux
 
 
@@ -516,7 +527,10 @@ def hyvideo_trunk(params, cfg: HYVideoConfig, img, txt, aux,
     blocks in ``jax.checkpoint`` (activation memory for fine-tuning)."""
     vec = aux["vec"]
     rope_cos, rope_sin = aux["rope_cos"], aux["rope_sin"]
-    seqlen = img.shape[1] + txt.shape[1]
+    seqlen = aux.get("seqlens")
+    if seqlen is None:
+        seqlen = jnp.full((img.shape[0],), img.shape[1] + txt.shape[1],
+                          jnp.int32)
     tr = aux.get("tr")
     tr_img = None if tr is None else dict(vec=tr["vec"],
                                           mask_img=tr["mask_img"])

@@ -293,9 +293,10 @@ def _self_attention(p, x, cfg: WanConfig, carve: WanCarve | None,
             text_start_block=num_blocks, text_blocks=0,
             block_neighbors=carve.block_neighbors,
             first_frame_blocks=carve.first_frame_blocks)
-        lists = pack_block_lists(*mask_to_block_lists(mask))
+        lists = pack_block_lists(*mask_to_block_lists(mask),
+                                 seqlens=carve.seqlen)
         out = block_sparse_attention(
-            qt, kt, vt, lists, seqlen=carve.seqlen,
+            qt, kt, vt, lists,
             text_start_block=num_blocks).transpose(0, 2, 1, 3)
     return L.linear(p["o"], out.reshape(b, s, d))
 

@@ -28,7 +28,7 @@ def block_sparse_attention_reference(
     sm_scale: float | None = None,
     text_amp: float = 0.0,
     text_start_block: int | None = None,
-    seqlen: int | None = None,
+    seqlen=None,
     block_m: int = 128,
     block_n: int = 128,
 ) -> jax.Array:
@@ -38,6 +38,8 @@ def block_sparse_attention_reference(
         sm_scale = d ** -0.5
     if seqlen is None:
         seqlen = skv
+    # scalar or per-sample [B] valid KV lengths
+    seqlen = jnp.broadcast_to(jnp.asarray(seqlen, jnp.int32), (b,))
     nqb, nkb = s // block_m, skv // block_n
 
     # Base-2 logits, matching the kernel's exp2 streaming-softmax trick.
@@ -52,7 +54,8 @@ def block_sparse_attention_reference(
         logits = logits + jnp.where(amp, text_amp, 0.0)
 
     token_mask = jnp.repeat(jnp.repeat(mask, block_m, axis=2), block_n, axis=3)
-    token_mask = token_mask & (jnp.arange(skv)[None, None, None, :] < seqlen)
+    token_mask = token_mask & (jnp.arange(skv)[None, None, None, :]
+                               < seqlen[:, None, None, None])
     logits = jnp.where(token_mask, logits, -jnp.inf)
 
     # softmax base 2 == softmax of (logits * ln 2)

@@ -60,7 +60,6 @@ def _kernel(
     sm_scale: float,
     text_amp: float,
     text_start_block: int,
-    seqlen: int,
     block_m: int,
     block_n: int,
     row_size: int,
@@ -78,20 +77,22 @@ def _kernel(
     d = q_ref.shape[-1]
     gn = group * block_n
 
-    # Fetch this row's packed block list (slot 0 = count, slots 1.. = ids);
-    # the row stride is 1024-aligned (the 1-D int32 HBM tile) for the DMA.
+    # Fetch this row's packed block list (slot 0 = count, slot 1 = valid
+    # KV length for this sample, slots 2.. = ids); the row stride is
+    # 1024-aligned (the 1-D int32 HBM tile) for the DMA.
     row_start = (bh * nqb + qi) * row_size
     idx_dma = pltpu.make_async_copy(
         lists_hbm.at[pl.ds(row_start, row_size)], idx_smem, list_sem)
     idx_dma.start()
     idx_dma.wait()
     n = idx_smem[0]
+    seqlen = idx_smem[1]
     n_groups = (n + group - 1) // group
 
     def blk_of(j, g):
         # overhang entries re-read the first listed block; masked below
         pos = j * group + g
-        return idx_smem[1 + jnp.where(pos < n, pos, 0)]
+        return idx_smem[2 + jnp.where(pos < n, pos, 0)]
 
     def group_copies(hbm, buf, sems, j, slot):
         return [
@@ -126,7 +127,6 @@ def _kernel(
     l0 = jnp.zeros((block_m, 128), jnp.float32)
     acc0 = jnp.zeros((block_m, d), jnp.float32)
 
-    check_tail = seqlen % block_n != 0
     col = jax.lax.broadcasted_iota(jnp.int32, (block_m, gn), 1)
     lane = jax.lax.rem(col, block_n)
 
@@ -152,9 +152,10 @@ def _kernel(
         for g in range(group):
             blk_col = jnp.where(seg == g, blk_ids[g], blk_col)
         valid = (j * group + seg) < n
-        if check_tail:
-            valid = jnp.logical_and(valid,
-                                    blk_col * block_n + lane < seqlen)
+        # dynamic per-sample valid length: masks both the 128-pad tail and
+        # padded text tokens (reference semantics, `attention_block_triton
+        # _diffres.py:327-329`, per-sample rather than sample-0-broadcast)
+        valid = jnp.logical_and(valid, blk_col * block_n + lane < seqlen)
         if text_amp != 0.0:
             amp_on = jnp.logical_and(qi < text_start_block,
                                      blk_col >= text_start_block)
@@ -179,7 +180,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "text_amp", "text_start_block", "seqlen",
+    static_argnames=("sm_scale", "text_amp", "text_start_block",
                      "block_n", "group", "interpret"))
 def block_sparse_attention(
     q: jax.Array,            # [B, H, S, D], S a multiple of 128
@@ -190,7 +191,6 @@ def block_sparse_attention(
     sm_scale: float | None = None,
     text_amp: float = 0.0,
     text_start_block: int = 0,
-    seqlen: int | None = None,
     block_n: int = DEFAULT_BLOCK,
     group: int | None = None,
     interpret: bool | None = None,
@@ -199,8 +199,10 @@ def block_sparse_attention(
 
     ``block_lists`` is the packed layout from
     ``jenga_tpu.sparse.planner.pack_block_lists``: per (batch, head,
-    query-block) row, slot 0 holds the selected-block count and slots 1..
-    the ascending key-block ids, padded to a 1024-aligned row.
+    query-block) row, slot 0 holds the selected-block count, slot 1 the
+    per-sample valid KV length (keys past it are masked — padded text
+    tokens and the 128-pad tail), and slots 2.. the ascending block ids,
+    padded to a 1024-aligned row.
     """
     if interpret is None:
         # Mosaic only targets TPU; emulate on CPU (tests, tiny local runs).
@@ -230,11 +232,9 @@ def block_sparse_attention(
         out = block_sparse_attention(
             jnp.pad(q, padcfg), jnp.pad(k, padcfg), jnp.pad(v, padcfg),
             block_lists, sm_scale=sm_scale, text_amp=text_amp,
-            text_start_block=text_start_block, seqlen=seqlen,
+            text_start_block=text_start_block,
             block_n=block_n, group=group, interpret=interpret)
         return out[..., :d]
-    if seqlen is None:
-        seqlen = skv
     nqb = s // block_m
     row_size = block_lists.shape[-1]
     if row_size % 1024:
@@ -249,7 +249,7 @@ def block_sparse_attention(
     kernel = functools.partial(
         _kernel,
         sm_scale=float(sm_scale), text_amp=float(text_amp),
-        text_start_block=int(text_start_block), seqlen=int(seqlen),
+        text_start_block=int(text_start_block),
         block_m=block_m, block_n=block_n, row_size=row_size,
         group=int(group))
 

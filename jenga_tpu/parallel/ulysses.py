@@ -59,7 +59,7 @@ def ulysses_self_attention(
     """
     n_sp = mesh.shape[axis]
 
-    def inner(q, k, v, top_k_arr):
+    def inner(q, k, v, top_k_arr, seqlens):
         # [B, S/sp, H, hd] -> [B, S, H/sp, hd]: scatter heads, gather tokens
         def a2a_fwd(x):
             return jax.lax.all_to_all(x, axis, split_axis=2, concat_axis=1,
@@ -93,9 +93,10 @@ def ulysses_self_attention(
                 # text query rows attend densely: full index lists
                 full = jnp.ones((*mask.shape[:2], nkb - tsb, nkb), bool)
                 mask = jnp.concatenate([mask, full], axis=2)
-            lists = pack_block_lists(*mask_to_block_lists(mask))
+            lists = pack_block_lists(*mask_to_block_lists(mask),
+                                     seqlens=seqlens)
             out = block_sparse_attention(
-                qt, kt, vt, lists, seqlen=seqlen,
+                qt, kt, vt, lists,
                 text_start_block=tsb, text_amp=text_amp)
         else:
             out = dense_attention(qt, kt, vt)
@@ -106,12 +107,17 @@ def ulysses_self_attention(
     if top_k is None:
         top_k = jnp.int32(1)
     top_k = jnp.asarray(top_k, jnp.int32)
+    # per-sample valid KV lengths (padded text/tail masking); replicated
+    if seqlen is None:
+        seqlen = q.shape[1] * n_sp
+    seqlens = jnp.broadcast_to(jnp.asarray(seqlen, jnp.int32),
+                               (q.shape[0],))
 
     fn = jax.shard_map(
         inner, mesh=mesh,
         in_specs=(P(None, axis, None, None), P(None, axis, None, None),
-                  P(None, axis, None, None), P()),
+                  P(None, axis, None, None), P(), P()),
         out_specs=P(None, axis, None, None),
         check_vma=False,
     )
-    return fn(q, k, v, top_k)
+    return fn(q, k, v, top_k, seqlens)

@@ -124,27 +124,46 @@ def mask_to_block_lists(mask: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def packed_row_size(num_kv_blocks: int) -> int:
-    """Row stride of the packed list layout: count slot + ids, tile-aligned.
+    """Row stride of the packed list layout: count + seqlen slots + ids,
+    tile-aligned.
 
     The kernel DMAs rows out of a flattened 1-D int32 array; Mosaic tiles
     1-D int32 HBM buffers in 1024-element tiles (8 sublanes x 128 lanes),
     so both the row stride and every row offset must be 1024-aligned.
     """
-    return -(-(num_kv_blocks + 1) // 1024) * 1024
+    return -(-(num_kv_blocks + 2) // 1024) * 1024
 
 
-def pack_block_lists(indices: jax.Array, counts: jax.Array) -> jax.Array:
+def pack_block_lists(indices: jax.Array, counts: jax.Array,
+                     seqlens=None, block_size: int = 128) -> jax.Array:
     """Pack (indices, counts) into the kernel's DMA-aligned row layout.
 
-    Returns int32 ``[B, H, Qb, packed_row_size(nkb)]`` where slot 0 of each
-    row holds the count and slots 1.. hold the selected block ids. The
+    Returns int32 ``[B, H, Qb, packed_row_size(nkb)]`` where slot 0 holds
+    the count, slot 1 the per-sample valid KV length (keys at positions
+    >= seqlen are masked — how the reference masks padded text tokens,
+    `/root/reference/hyvideo/modules/attention_block_triton_diffres.py:
+    327-329`; the reference broadcasts sample 0's length, here each
+    sample gets its own), and slots 2.. the selected block ids. The
     kernel DMAs one flattened row per query block straight into SMEM.
+
+    ``seqlens``: scalar or [B] array of real token counts; None = all
+    ``nkb * block_size`` keys valid.
     """
     *lead, nkb = indices.shape
     row = packed_row_size(nkb)
     out = jnp.zeros((*lead, row), jnp.int32)
     out = out.at[..., 0].set(counts)
-    out = out.at[..., 1:1 + nkb].set(indices)
+    if seqlens is None:
+        sl = jnp.full(tuple(lead), nkb * block_size, jnp.int32)
+    else:
+        sl = jnp.asarray(seqlens, jnp.int32)
+        if sl.ndim == 0:
+            sl = jnp.broadcast_to(sl, tuple(lead))
+        else:   # [B] -> broadcast over heads / query blocks
+            sl = jnp.broadcast_to(sl.reshape(-1, *([1] * (len(lead) - 1))),
+                                  tuple(lead))
+    out = out.at[..., 1].set(sl)
+    out = out.at[..., 2:2 + nkb].set(indices)
     return out
 
 
@@ -163,6 +182,7 @@ def plan_block_sparsity(
     text_blocks: int,
     block_size: int = 128,
     first_frame_blocks: int = 0,
+    seqlens=None,
 ):
     """Fused mask build + packed-list conversion. Returns (mask, packed)."""
     mask = build_block_mask(
@@ -172,4 +192,5 @@ def plan_block_sparsity(
         block_neighbors=block_neighbors, block_size=block_size,
         first_frame_blocks=first_frame_blocks)
     indices, counts = mask_to_block_lists(mask)
-    return mask, pack_block_lists(indices, counts)
+    return mask, pack_block_lists(indices, counts, seqlens=seqlens,
+                                  block_size=block_size)

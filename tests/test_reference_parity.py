@@ -1,0 +1,311 @@
+"""Numerical parity against the ACTUAL reference implementation.
+
+Loads the reference's torch ``WanModel`` (dense path) from
+``/root/reference`` — with test-side shims for its CUDA-only deps
+(easydict/diffusers stubs, SDPA instead of flash-attn) — initializes a
+tiny model, converts its state dict through ``jenga_tpu.convert``, and
+asserts our JAX forward reproduces the torch forward at f32 precision.
+This is the end-to-end fidelity check the whole rebuild is measured by;
+it skips automatically when the reference tree is absent.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "wan", "modules")),
+    reason="reference tree not available")
+
+
+def _install_stubs():
+    """Shim the reference's import-time deps that aren't in this image."""
+    if "easydict" not in sys.modules:
+        m = types.ModuleType("easydict")
+
+        class EasyDict(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError as e:
+                    raise AttributeError(k) from e
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+        m.EasyDict = EasyDict
+        sys.modules["easydict"] = m
+    if "diffusers" not in sys.modules:
+        diff = types.ModuleType("diffusers")
+        cu = types.ModuleType("diffusers.configuration_utils")
+        mu = types.ModuleType("diffusers.models.modeling_utils")
+        models = types.ModuleType("diffusers.models")
+
+        class ConfigMixin:
+            pass
+
+        class ModelMixin(torch.nn.Module):
+            pass
+
+        def register_to_config(fn):
+            return fn
+
+        cu.ConfigMixin = ConfigMixin
+        cu.register_to_config = register_to_config
+        mu.ModelMixin = ModelMixin
+        models.ModelMixin = ModelMixin
+        diff.configuration_utils = cu
+        models.modeling_utils = mu
+        diff.models = models
+        sys.modules["diffusers"] = diff
+        sys.modules["diffusers.configuration_utils"] = cu
+        sys.modules["diffusers.models"] = models
+        sys.modules["diffusers.models.modeling_utils"] = mu
+
+
+def _load_reference_wan():
+    """Import wan/modules/{attention,model}.py WITHOUT executing
+    wan/__init__ (which pulls the triton kernel files)."""
+    _install_stubs()
+    pkg = types.ModuleType("refwan_modules")
+    pkg.__path__ = [os.path.join(REF, "wan", "modules")]
+    sys.modules["refwan_modules"] = pkg
+
+    def load(name, fname):
+        spec = importlib.util.spec_from_file_location(
+            f"refwan_modules.{name}",
+            os.path.join(REF, "wan", "modules", fname))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"refwan_modules.{name}"] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    att = load("attention", "attention.py")
+    model = load("model", "model.py")
+    # CPU run: route the direct flash_attention calls through the SDPA
+    # fallback (attention() dispatches on flash-attn availability); keep
+    # f32 so the comparison isn't bf16-quantized (the real pipeline runs
+    # the whole model under bf16 autocast instead)
+    import functools
+    model.flash_attention = functools.partial(att.attention,
+                                              dtype=torch.float32)
+    return model
+
+
+def test_wan_dense_forward_matches_reference():
+    import jax
+    import jax.numpy as jnp
+    from jenga_tpu.convert import convert_wan_dit
+    from jenga_tpu.models.wan import WanConfig, wan_forward
+
+    model_mod = _load_reference_wan()
+    torch.manual_seed(0)
+    ref = model_mod.WanModel(
+        model_type="t2v", patch_size=(1, 2, 2), text_len=16, in_dim=16,
+        dim=64, ffn_dim=128, freq_dim=32, text_dim=32, out_dim=16,
+        num_heads=2, num_layers=2, qk_norm=True,
+        cross_attn_norm=True, eps=1e-6).eval().float()
+
+    f, h, w = 3, 8, 12
+    torch.manual_seed(1)
+    x = torch.randn(16, f, h, w)
+    t = torch.tensor([500.0])
+    ctx = torch.randn(9, 32)            # unpadded text, L=9
+    seq_len = f * (h // 2) * (w // 2)
+    with torch.no_grad():
+        out_ref = ref([x], t, [ctx], seq_len)[0].float().numpy()
+
+    cfg = WanConfig(model_type="t2v", text_len=16, in_dim=16, dim=64,
+                    ffn_dim=128, freq_dim=32, text_dim=32, out_dim=16,
+                    num_heads=2, num_layers=2, qk_norm=True,
+                    cross_attn_norm=True, eps=1e-6, dtype="float32")
+    params = jax.tree.map(jnp.asarray,
+                          convert_wan_dit(ref.state_dict(), cfg))
+    ctx_pad = jnp.pad(jnp.asarray(ctx.numpy()), ((0, 16 - 9), (0, 0)))
+    out = wan_forward(params, cfg, jnp.asarray(x.numpy())[None],
+                      jnp.asarray(t.numpy()), ctx_pad[None])
+    out = np.asarray(out[0])
+
+    assert out.shape == out_ref.shape
+    scale = np.abs(out_ref).max()
+    np.testing.assert_allclose(out, out_ref, atol=3e-4 * max(scale, 1.0),
+                               rtol=2e-3)
+
+
+def test_wan_dense_i2v_forward_matches_reference():
+    """I2V variant: channel-concat y + CLIP features through img_emb."""
+    import jax
+    import jax.numpy as jnp
+    from jenga_tpu.convert import convert_wan_dit
+    from jenga_tpu.models.wan import WanConfig, wan_forward
+
+    model_mod = _load_reference_wan()
+    torch.manual_seed(2)
+    ref = model_mod.WanModel(
+        model_type="i2v", patch_size=(1, 2, 2), text_len=16, in_dim=36,
+        dim=64, ffn_dim=128, freq_dim=32, text_dim=32, out_dim=16,
+        num_heads=2, num_layers=2, qk_norm=True,
+        cross_attn_norm=True, eps=1e-6).eval().float()
+
+    f, h, w = 2, 8, 8
+    torch.manual_seed(3)
+    x = torch.randn(16, f, h, w)
+    y = torch.randn(20, f, h, w)
+    t = torch.tensor([300.0])
+    ctx = torch.randn(7, 32)
+    clip_fea = torch.randn(1, 5, 1280)
+    seq_len = f * (h // 2) * (w // 2)
+    with torch.no_grad():
+        out_ref = ref([x], t, [ctx], seq_len, clip_fea=clip_fea,
+                      y=[y])[0].float().numpy()
+
+    cfg = WanConfig(model_type="i2v", text_len=16, in_dim=36, dim=64,
+                    ffn_dim=128, freq_dim=32, text_dim=32, out_dim=16,
+                    num_heads=2, num_layers=2, qk_norm=True,
+                    cross_attn_norm=True, eps=1e-6, dtype="float32")
+    params = jax.tree.map(jnp.asarray,
+                          convert_wan_dit(ref.state_dict(), cfg))
+    ctx_pad = jnp.pad(jnp.asarray(ctx.numpy()), ((0, 16 - 7), (0, 0)))
+    out = wan_forward(params, cfg, jnp.asarray(x.numpy())[None],
+                      jnp.asarray(t.numpy()), ctx_pad[None],
+                      clip_fea=jnp.asarray(clip_fea.numpy()),
+                      y=jnp.asarray(y.numpy())[None])
+    out = np.asarray(out[0])
+    scale = np.abs(out_ref).max()
+    np.testing.assert_allclose(out, out_ref, atol=3e-4 * max(scale, 1.0),
+                               rtol=2e-3)
+
+
+def _load_reference_hyvideo():
+    """Import the HY dense model stack without hyvideo/__init__ (which
+    pulls the triton kernel files)."""
+    _install_stubs()
+    root = types.ModuleType("refhy")
+    root.__path__ = [os.path.join(REF, "hyvideo")]
+    sys.modules["refhy"] = root
+    for sub in ("modules", "utils"):
+        pkg = types.ModuleType(f"refhy.{sub}")
+        pkg.__path__ = [os.path.join(REF, "hyvideo", sub)]
+        sys.modules[f"refhy.{sub}"] = pkg
+
+    def load(name, relpath):
+        spec = importlib.util.spec_from_file_location(
+            f"refhy.{name}", os.path.join(REF, "hyvideo", relpath))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"refhy.{name}"] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    load("utils.helpers", "utils/helpers.py")
+    load("modules.activation_layers", "modules/activation_layers.py")
+    load("modules.norm_layers", "modules/norm_layers.py")
+    load("modules.modulate_layers", "modules/modulate_layers.py")
+    load("modules.embed_layers", "modules/embed_layers.py")
+    load("modules.mlp_layers", "modules/mlp_layers.py")
+    att = load("modules.attenion", "modules/attenion.py")
+    load("modules.token_refiner", "modules/token_refiner.py")
+    posemb = load("modules.posemb_layers", "modules/posemb_layers.py")
+    models = load("modules.models", "modules/models.py")
+
+    # CPU: the blocks hardcode mode="flash"; force the torch/SDPA path,
+    # rebuilding the varlen semantics (keys past each sample's real
+    # length are masked) as an explicit attention mask.
+
+    def torch_attention(q, k, v, mode="flash", **kw):
+        cu_q = kw.pop("cu_seqlens_q", None)
+        kw.pop("cu_seqlens_kv", None)
+        kw.pop("max_seqlen_q", None)
+        kw.pop("max_seqlen_kv", None)
+        kw.pop("batch_size", None)
+        attn_mask = None
+        if cu_q is not None:
+            b, s = q.shape[0], q.shape[1]
+            valid = torch.zeros(b, 1, 1, s, dtype=torch.bool)
+            for i in range(b):
+                real = int(cu_q[2 * i + 1]) - i * s
+                valid[i, :, :, :real] = True
+            attn_mask = valid
+        return att.attention(q, k, v, mode="torch", attn_mask=attn_mask,
+                             **kw)
+
+    def cpu_get_cu_seqlens(text_mask, img_len):
+        batch_size = text_mask.shape[0]
+        text_len = text_mask.sum(dim=1)
+        max_len = text_mask.shape[1] + img_len
+        cu = torch.zeros([2 * batch_size + 1], dtype=torch.int32)
+        for i in range(batch_size):
+            s_ = text_len[i] + img_len
+            cu[2 * i + 1] = i * max_len + s_
+            cu[2 * i + 2] = (i + 1) * max_len
+        return cu
+
+    models.attention = torch_attention
+    models.get_cu_seqlens = cpu_get_cu_seqlens
+    return models, posemb
+
+
+def test_hyvideo_dense_forward_matches_reference():
+    import jax
+    import jax.numpy as jnp
+    from jenga_tpu.convert import convert_hyvideo_dit
+    from jenga_tpu.models.hyvideo import HYVideoConfig, hyvideo_forward
+
+    models, posemb = _load_reference_hyvideo()
+
+    class Args:
+        text_states_dim = 32
+        text_states_dim_2 = 24
+
+    torch.manual_seed(0)
+    ref = models.HYVideoDiffusionTransformer(
+        Args(), patch_size=[1, 2, 2], in_channels=16, out_channels=16,
+        hidden_size=48, heads_num=2, mlp_width_ratio=4.0,
+        mm_double_blocks_depth=2, mm_single_blocks_depth=2,
+        rope_dim_list=[8, 8, 8], qkv_bias=True, qk_norm=True,
+        guidance_embed=True, text_projection="single_refiner",
+        use_attention_mask=True).eval().float()
+
+    f, h, w = 3, 8, 12
+    tt, th, tw = f, h // 2, w // 2
+    torch.manual_seed(1)
+    x = torch.randn(1, 16, f, h, w)
+    t = torch.tensor([500.0])
+    txt = torch.randn(1, 10, 32)
+    mask = torch.ones(1, 10, dtype=torch.long)
+    mask[:, 8:] = 0
+    txt2 = torch.randn(1, 24)
+    guidance = torch.tensor([6000.0])
+    fc, fs = posemb.get_nd_rotary_pos_embed(
+        [8, 8, 8], [tt, th, tw], theta=256, use_real=True,
+        theta_rescale_factor=1)
+    with torch.no_grad():
+        out_ref = ref(x, t, text_states=txt, text_mask=mask,
+                      text_states_2=txt2, freqs_cos=fc, freqs_sin=fs,
+                      guidance=guidance)["x"].float().numpy()
+
+    cfg = HYVideoConfig(in_channels=16, out_channels=16, hidden_size=48,
+                        heads_num=2, mlp_ratio=4.0, double_blocks=2,
+                        single_blocks=2, rope_dim_list=(8, 8, 8),
+                        rope_theta=256.0, qkv_bias=True, guidance_embed=True,
+                        text_states_dim=32, text_states_dim_2=24,
+                        refiner_depth=2, dtype="float32")
+    params = jax.tree.map(jnp.asarray,
+                          convert_hyvideo_dit(ref.state_dict(), cfg))
+    out = hyvideo_forward(params, cfg, jnp.asarray(x.numpy()),
+                          jnp.asarray(t.numpy()),
+                          jnp.asarray(txt.numpy()),
+                          jnp.asarray(mask.numpy()),
+                          jnp.asarray(txt2.numpy()),
+                          guidance=jnp.asarray(guidance.numpy()))
+    out = np.asarray(out)
+    assert out.shape == out_ref.shape
+    scale = np.abs(out_ref).max()
+    np.testing.assert_allclose(out, out_ref, atol=3e-4 * max(scale, 1.0),
+                               rtol=2e-3)

@@ -16,8 +16,8 @@ from jenga_tpu.sparse.planner import (
 )
 
 
-def _lists(mask):
-    return pack_block_lists(*mask_to_block_lists(mask))
+def _lists(mask, seqlens=None):
+    return pack_block_lists(*mask_to_block_lists(mask), seqlens=seqlens)
 
 BM = 128
 
@@ -120,11 +120,11 @@ class TestKernelVsReference:
         if tsb is not None:
             mask = mask.at[..., tsb:].set(True)
         kwargs = dict(text_amp=text_amp,
-                      text_start_block=tsb if tsb is not None else nqb,
-                      seqlen=seqlen)
-        out = block_sparse_attention(q, k, v, _lists(mask),
+                      text_start_block=tsb if tsb is not None else nqb)
+        out = block_sparse_attention(q, k, v, _lists(mask, seqlens=seqlen),
                                      interpret=True, **kwargs)
-        ref = block_sparse_attention_reference(q, k, v, mask, **kwargs)
+        ref = block_sparse_attention_reference(q, k, v, mask, seqlen=seqlen,
+                                               **kwargs)
         return np.asarray(out), np.asarray(ref)
 
     def test_f32_matches_reference(self):
@@ -145,6 +145,21 @@ class TestKernelVsReference:
     def test_partial_last_block_seqlen_mask(self):
         out, ref = self._run(1, 1, 4, 64, jnp.float32, seqlen=4 * BM - 37)
         np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    def test_per_sample_seqlens(self):
+        """Each batch sample carries its own valid-KV length (how padded
+        text tokens are masked; the reference broadcasts sample 0's)."""
+        b, h, nqb, d = 2, 1, 4, 64
+        s = nqb * BM
+        q, k, v = _qkv(self.key, b, h, s, d, jnp.float32)
+        mask = jnp.ones((b, h, nqb, nqb), bool)
+        seqlens = jnp.asarray([s - 100, s - 7], jnp.int32)
+        out = block_sparse_attention(q, k, v, _lists(mask, seqlens=seqlens),
+                                     interpret=True)
+        ref = block_sparse_attention_reference(q, k, v, mask,
+                                               seqlen=seqlens)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
 
     def test_full_mask_equals_dense_attention(self):
         b, h, nqb, d = 1, 2, 3, 64
