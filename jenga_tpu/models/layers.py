@@ -127,13 +127,25 @@ def patchify_3d(p, x, patch: tuple[int, int, int]):
 
 
 def unpatchify_3d(x, grid: tuple[int, int, int], patch: tuple[int, int, int],
-                  out_channels: int):
-    """Inverse of patchify: [B, L, C*pt*ph*pw] -> [B, C, F, H, W]."""
+                  out_channels: int, channel_last: bool = False):
+    """Inverse of patchify: [B, L, ...] -> [B, C, F, H, W].
+
+    The per-token feature layout differs between the two model families:
+    HunyuanVideo's final layer emits (c, pt, ph, pw)
+    (`/root/reference/hyvideo/modules/models.py:700-713`,
+    einsum ``nthwcopq``) while Wan's head emits (pt, ph, pw, c)
+    (`/root/reference/wan/modules/model.py:589-595`, einsum
+    ``fhwpqrc->cfphqwr``) — ``channel_last=True`` selects the Wan order.
+    """
     b = x.shape[0]
     gt, gh, gw = grid
     pt, ph, pw = patch
-    x = x.reshape(b, gt, gh, gw, out_channels, pt, ph, pw)
-    x = x.transpose(0, 4, 1, 5, 2, 6, 3, 7)
+    if channel_last:
+        x = x.reshape(b, gt, gh, gw, pt, ph, pw, out_channels)
+        x = x.transpose(0, 7, 1, 4, 2, 5, 3, 6)
+    else:
+        x = x.reshape(b, gt, gh, gw, out_channels, pt, ph, pw)
+        x = x.transpose(0, 4, 1, 5, 2, 6, 3, 7)
     return x.reshape(b, out_channels, gt * pt, gh * ph, gw * pw)
 
 

@@ -449,7 +449,7 @@ def wan_head(params, cfg: WanConfig, h, aux,
                      shift=hm[:, 0:1], scale=hm[:, 1:2])
     out = L.linear(params["head"]["linear"], out)
     return L.unpatchify_3d(out.astype(jnp.float32), aux["grid"],
-                           cfg.patch_size, cfg.out_dim)
+                           cfg.patch_size, cfg.out_dim, channel_last=True)
 
 
 def wan_forward(params, cfg: WanConfig, x, t, context,

@@ -112,6 +112,10 @@ def test_wan_dense_forward_matches_reference():
         dim=64, ffn_dim=128, freq_dim=32, text_dim=32, out_dim=16,
         num_heads=2, num_layers=2, qk_norm=True,
         cross_attn_norm=True, eps=1e-6).eval().float()
+    # the production head is zero-init -> output would be identically 0
+    # and the comparison vacuous; randomize it (both sides get the same
+    # weights through the converter)
+    torch.nn.init.normal_(ref.head.head.weight, std=0.05)
 
     f, h, w = 3, 8, 12
     torch.manual_seed(1)
@@ -135,6 +139,7 @@ def test_wan_dense_forward_matches_reference():
 
     assert out.shape == out_ref.shape
     scale = np.abs(out_ref).max()
+    assert scale > 1e-2, "vacuous comparison: reference output ~ 0"
     np.testing.assert_allclose(out, out_ref, atol=3e-4 * max(scale, 1.0),
                                rtol=2e-3)
 
@@ -153,6 +158,7 @@ def test_wan_dense_i2v_forward_matches_reference():
         dim=64, ffn_dim=128, freq_dim=32, text_dim=32, out_dim=16,
         num_heads=2, num_layers=2, qk_norm=True,
         cross_attn_norm=True, eps=1e-6).eval().float()
+    torch.nn.init.normal_(ref.head.head.weight, std=0.05)
 
     f, h, w = 2, 8, 8
     torch.manual_seed(3)
@@ -160,7 +166,9 @@ def test_wan_dense_i2v_forward_matches_reference():
     y = torch.randn(20, f, h, w)
     t = torch.tensor([300.0])
     ctx = torch.randn(7, 32)
-    clip_fea = torch.randn(1, 5, 1280)
+    # the reference hardcodes the 257-token CLIP split
+    # (`/root/reference/wan/modules/model.py:206-207`)
+    clip_fea = torch.randn(1, 257, 1280)
     seq_len = f * (h // 2) * (w // 2)
     with torch.no_grad():
         out_ref = ref([x], t, [ctx], seq_len, clip_fea=clip_fea,
@@ -179,6 +187,7 @@ def test_wan_dense_i2v_forward_matches_reference():
                       y=jnp.asarray(y.numpy())[None])
     out = np.asarray(out[0])
     scale = np.abs(out_ref).max()
+    assert scale > 1e-2, "vacuous comparison: reference output ~ 0"
     np.testing.assert_allclose(out, out_ref, atol=3e-4 * max(scale, 1.0),
                                rtol=2e-3)
 
@@ -271,6 +280,14 @@ def test_hyvideo_dense_forward_matches_reference():
         rope_dim_list=[8, 8, 8], qkv_bias=True, qk_norm=True,
         guidance_embed=True, text_projection="single_refiner",
         use_attention_mask=True).eval().float()
+    # zero-init final layer + refiner adaLN gates make the output (and
+    # the refiner's mask handling) vacuously zero on a random model;
+    # randomize them so the comparison exercises the full network
+    torch.nn.init.normal_(ref.final_layer.linear.weight, std=0.05)
+    torch.nn.init.normal_(ref.final_layer.adaLN_modulation[1].weight,
+                          std=0.05)
+    for blk in ref.txt_in.individual_token_refiner.blocks:
+        torch.nn.init.normal_(blk.adaLN_modulation[1].weight, std=0.05)
 
     f, h, w = 3, 8, 12
     tt, th, tw = f, h // 2, w // 2
@@ -307,5 +324,6 @@ def test_hyvideo_dense_forward_matches_reference():
     out = np.asarray(out)
     assert out.shape == out_ref.shape
     scale = np.abs(out_ref).max()
+    assert scale > 1e-2, "vacuous comparison: reference output ~ 0"
     np.testing.assert_allclose(out, out_ref, atol=3e-4 * max(scale, 1.0),
                                rtol=2e-3)
