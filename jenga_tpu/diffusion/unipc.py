@@ -44,10 +44,11 @@ class UniPCSchedule:
 
     @property
     def timesteps(self) -> np.ndarray:
-        return self.sigmas[:-1] * self.num_train_timesteps
+        # the reference truncates to int64 and feeds those to the model
+        return np.floor(self.sigmas[:-1] * self.num_train_timesteps)
 
     def timestep(self, i: int) -> float:
-        return float(self.sigmas[i] * self.num_train_timesteps)
+        return float(int(self.sigmas[i] * self.num_train_timesteps))
 
 
 @dataclasses.dataclass
@@ -68,7 +69,11 @@ def unipc_schedule(num_steps: int, shift: float = 1.0,
     """sigmas: shifted linspace over (1, 1/N], then a final exact zero
     (reference ``set_timesteps``, final_sigmas_type='zero',
     `/root/reference/wan/utils/fm_solvers_unipc.py:160-228`)."""
-    sigma_max, sigma_min = 1.0, 1.0 / num_train_timesteps
+    # reference grid: sigma_max = 1 - 1/N (the init builds
+    # sigmas = 1 - linspace(1, 1/N, N)), sigma_min = 0
+    # (`/root/reference/wan/utils/fm_solvers_unipc.py:107-132,182-185`)
+    sigma_max = 1.0 - 1.0 / num_train_timesteps
+    sigma_min = 0.0
     sigmas = np.linspace(sigma_max, sigma_min, num_steps + 1,
                          dtype=np.float64)[:-1]
     sigmas = shift * sigmas / (1.0 + (shift - 1.0) * sigmas)

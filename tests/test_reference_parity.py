@@ -507,3 +507,203 @@ def test_clip_vision_wan_matches_reference():
                                use_31_block=True)
     np.testing.assert_allclose(np.asarray(feats), feats_ref, atol=5e-4,
                                rtol=5e-3)
+
+
+def _install_scheduler_stubs():
+    """Richer diffusers stubs for the reference schedulers: a functional
+    register_to_config (captures init args into self.config) and the
+    scheduling_utils/utils surfaces they import."""
+    _install_stubs()
+    import enum
+    import functools
+    import inspect
+
+    cu = sys.modules["diffusers.configuration_utils"]
+
+    class _Cfg(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+    def register_to_config(fn):
+        @functools.wraps(fn)
+        def wrapped(self, *args, **kwargs):
+            sig = inspect.signature(fn)
+            bound = sig.bind(self, *args, **kwargs)
+            bound.apply_defaults()
+            self.config = _Cfg({k: v for k, v in bound.arguments.items()
+                                if k != "self"})
+            return fn(self, *args, **kwargs)
+        return wrapped
+
+    cu.register_to_config = register_to_config
+
+    if "diffusers.schedulers.scheduling_utils" not in sys.modules:
+        su = types.ModuleType("diffusers.schedulers.scheduling_utils")
+
+        class SchedulerMixin:
+            pass
+
+        class KarrasDiffusionSchedulers(enum.Enum):
+            placeholder = 0
+
+        class SchedulerOutput(dict):
+            def __init__(self, prev_sample=None, **kw):
+                super().__init__(prev_sample=prev_sample, **kw)
+                self.prev_sample = prev_sample
+                for k, v in kw.items():
+                    setattr(self, k, v)
+
+            def __getitem__(self, k):
+                if isinstance(k, int):
+                    return list(self.values())[k]
+                return dict.__getitem__(self, k)
+
+        su.SchedulerMixin = SchedulerMixin
+        su.KarrasDiffusionSchedulers = KarrasDiffusionSchedulers
+        su.SchedulerOutput = SchedulerOutput
+        sched_pkg = types.ModuleType("diffusers.schedulers")
+        sched_pkg.scheduling_utils = su
+        sys.modules["diffusers.schedulers"] = sched_pkg
+        sys.modules["diffusers.schedulers.scheduling_utils"] = su
+
+    if "diffusers.utils" not in sys.modules:
+        du = types.ModuleType("diffusers.utils")
+
+        class BaseOutput(dict):
+            def __init__(self, **kw):
+                super().__init__(**kw)
+                for k, v in kw.items():
+                    setattr(self, k, v)
+
+        class _Logging:
+            @staticmethod
+            def get_logger(name):
+                import logging as _l
+                return _l.getLogger(name)
+
+        du.BaseOutput = BaseOutput
+        du.logging = _Logging()
+        du.deprecate = lambda *a, **k: None
+        du.is_scipy_available = lambda: True
+        sys.modules["diffusers.utils"] = du
+
+
+def _load_file_module(key, path):
+    spec = importlib.util.spec_from_file_location(key, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[key] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_flow_match_scheduler_matches_reference():
+    """Euler flow-match: sigmas/timesteps with SD3 shift, step updates,
+    and the Jenga x0-revert / re-noise extensions."""
+    from jenga_tpu.diffusion.flow_match import flow_match_schedule
+
+    _install_scheduler_stubs()
+    mod = _load_file_module(
+        "ref_fm", os.path.join(
+            REF, "hyvideo/diffusion/schedulers/"
+                 "scheduling_flow_match_discrete.py"))
+    ref = mod.FlowMatchDiscreteScheduler(shift=7.0, reverse=True,
+                                         solver="euler")
+    n = 10
+    ref.set_timesteps(n)
+    ours = flow_match_schedule(n, shift=7.0, reverse=True)
+    np.testing.assert_allclose(np.asarray(ours.sigmas),
+                               ref.sigmas.numpy(), atol=1e-6)
+    for i in range(n):
+        assert abs(float(ours.timestep(i))
+                   - float(ref.timesteps[i])) < 1e-3
+
+    torch.manual_seed(0)
+    x = torch.randn(1, 4, 2, 8, 8)
+    v = torch.randn(1, 4, 2, 8, 8)
+    # Euler step at i=3
+    ref.set_timesteps(n)
+    ref._step_index = 3
+    stepped_ref = ref.step(v, ref.timesteps[3], x).prev_sample.numpy()
+    import jax.numpy as jnp
+    stepped = ours.step(3, jnp.asarray(x.numpy()), jnp.asarray(v.numpy()))
+    np.testing.assert_allclose(np.asarray(stepped), stepped_ref, atol=1e-5)
+
+    # Jenga extensions: x0 revert + re-noise (prores stage switch math);
+    # reference signatures are (noise_pred, t, latents) and
+    # (latents, noise, t) with a timestep VALUE
+    x0_ref = ref.predict_x0_from_xt(
+        v, ref.timesteps[3],
+        torch.from_numpy(np.asarray(stepped))).prev_sample.numpy()
+    x0 = ours.predict_x0(3, jnp.asarray(np.asarray(stepped)),
+                         jnp.asarray(v.numpy()))
+    np.testing.assert_allclose(np.asarray(x0), x0_ref, atol=1e-5)
+    noise = torch.randn(1, 4, 2, 8, 8)
+    ren_ref = ref.add_noise_to_step(
+        torch.from_numpy(x0_ref), noise,
+        ref.timesteps[5]).prev_sample.numpy()
+    ren = ours.renoise_to_step(5, jnp.asarray(x0_ref),
+                               jnp.asarray(noise.numpy()))
+    np.testing.assert_allclose(np.asarray(ren), ren_ref, atol=1e-5)
+
+
+def test_unipc_scheduler_matches_reference():
+    """UniPC multistep trajectory parity: 10 steps of synthetic velocity
+    through both solvers (predictor + corrector), plus step_to_zero and
+    add_noise, plus the turbo disable_corrector reset."""
+    import jax.numpy as jnp
+    from jenga_tpu.diffusion.unipc import (unipc_add_noise, unipc_init,
+                                           unipc_schedule, unipc_step,
+                                           unipc_step_to_zero)
+
+    _install_scheduler_stubs()
+    mod = _load_file_module(
+        "ref_unipc", os.path.join(REF, "wan/utils/fm_solvers_unipc.py"))
+    n = 10
+    ref = mod.FlowUniPCMultistepScheduler(num_train_timesteps=1000,
+                                          solver_order=2)
+    ref.set_timesteps(n, shift=8.0)
+    ours_sched = unipc_schedule(n, shift=8.0)
+    np.testing.assert_allclose(np.asarray(ours_sched.sigmas[:-1]),
+                               ref.sigmas.numpy()[:-1], atol=1e-6)
+
+    torch.manual_seed(0)
+    x_ref = torch.randn(1, 4, 2, 8, 8)
+    x_ours = jnp.asarray(x_ref.numpy())
+    state = unipc_init(ours_sched)
+    gen = torch.Generator().manual_seed(1)
+    for i in range(n):
+        v = torch.randn(1, 4, 2, 8, 8, generator=gen)
+        x_ref = ref.step(v, ref.timesteps[i], x_ref,
+                         return_dict=False)[0]
+        state, x_ours = unipc_step(ours_sched, state,
+                                   jnp.asarray(v.numpy()), x_ours)
+        np.testing.assert_allclose(
+            np.asarray(x_ours), x_ref.numpy(), atol=2e-4, rtol=1e-3,
+            err_msg=f"diverged at step {i}")
+
+    # step_to_zero + add_noise (turbo switch math)
+    ref2 = mod.FlowUniPCMultistepScheduler(num_train_timesteps=1000,
+                                           solver_order=2)
+    ref2.set_timesteps(n, shift=8.0)
+    torch.manual_seed(2)
+    x = torch.randn(1, 4, 2, 8, 8)
+    v = torch.randn(1, 4, 2, 8, 8)
+    i = 4
+    ref2._step_index = i
+    clean_ref = ref2.step_to_zero(v, ref2.timesteps[i], x,
+                                  return_dict=False)[0].numpy()
+    clean = unipc_step_to_zero(ours_sched, i, jnp.asarray(v.numpy()),
+                               jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(clean), clean_ref, atol=1e-5,
+                               rtol=1e-4)
+    noise = torch.randn(1, 4, 2, 8, 8)
+    ts = ref2.timesteps[i + 1]
+    ren_ref = ref2.add_noise(torch.from_numpy(clean_ref), noise,
+                             ts.unsqueeze(0)).numpy()
+    ren = unipc_add_noise(ours_sched, i + 1, jnp.asarray(clean_ref),
+                          jnp.asarray(noise.numpy()))
+    np.testing.assert_allclose(np.asarray(ren), ren_ref, atol=1e-5,
+                               rtol=1e-4)

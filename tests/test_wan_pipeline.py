@@ -73,7 +73,9 @@ class TestUniPC:
         for i in range(s.num_steps):
             v = eps - x0  # exact velocity, constant
             state, x = unipc_step(s, state, v, x)
-        np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-4)
+        # reference-exact sigma grid starts at 0.999 while the initial noise
+        # sits at sigma=1 (the reference's own approximation): ~2e-3 bound
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=2.5e-3)
 
     def test_corrector_disable_resets_order(self):
         s = unipc_schedule(8, shift=3.0)
@@ -162,7 +164,9 @@ class TestDPM:
             # exact velocity of the linear flow at the current point
             v = eps - x0
             state, x = dpm_step(s, state, v, x)
-        np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-4)
+        # reference-exact sigma grid starts at 0.999 while the initial noise
+        # sits at sigma=1 (the reference's own approximation): ~2e-3 bound
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=2.5e-3)
 
     def test_step_to_zero_and_add_noise(self):
         from jenga_tpu.diffusion.dpm import (dpm_add_noise, dpm_schedule,
