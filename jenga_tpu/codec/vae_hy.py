@@ -376,16 +376,19 @@ def _spatial_tiled_decode_raw(params, z, cfg: HYVAEConfig):
             row.append(_decoder(params["decoder"], cfg, tile))
         rows.append(row)
 
+    # The reference blends IN PLACE (`autoencoder_kl_causal_3d.py`
+    # blend_v/blend_h mutate b), so each tile blends against the already-
+    # blended neighbor; ``done`` holds the processed full-size tiles.
+    done = [[None] * len(r) for r in rows]
     out_rows = []
     for i, row in enumerate(rows):
         out_row = []
         for j, tile in enumerate(row):
             if i > 0:
-                tile = _blend_v(rows[i - 1][j], tile, blend)
+                tile = _blend_v(done[i - 1][j], tile, blend)
             if j > 0:
-                # reference blends against the *raw* left tile
-                # (`autoencoder_kl_causal_3d.py:455`)
-                tile = _blend_h(row[j - 1], tile, blend)
+                tile = _blend_h(done[i][j - 1], tile, blend)
+            done[i][j] = tile
             out_row.append(tile)
         out_rows.append(jnp.concatenate(
             [t[..., :row_limit] for t in out_row], axis=-1))
@@ -423,12 +426,14 @@ def vae_decode_tiled(params, z, cfg: HYVAEConfig = HYVAE_884_16C,
             dec = dec[:, :, 1:]
         tiles.append(dec)
     parts = []
+    prev = None
     for i, tile in enumerate(tiles):
         if i > 0:
-            tile = _blend_t(tiles[i - 1], tile, blend)
+            tile = _blend_t(prev, tile, blend)
             parts.append(tile[:, :, :limit])
         else:
             parts.append(tile[:, :, :limit + 1])
+        prev = tile
     return jnp.concatenate(parts, axis=2)
 
 
@@ -458,15 +463,17 @@ def _spatial_tiled_encode_raw(params, x, cfg: HYVAEConfig):
             row.append(_encode_raw(params, cfg, tile))
         rows.append(row)
 
+    # blend against processed neighbors (the reference mutates in place)
+    done = [[None] * len(r) for r in rows]
     out_rows = []
     for i, row in enumerate(rows):
         out_row = []
         for j, tile in enumerate(row):
             if i > 0:
-                tile = _blend_v(rows[i - 1][j], tile, blend)
+                tile = _blend_v(done[i - 1][j], tile, blend)
             if j > 0:
-                # reference blends against the *unblended* left tile
-                tile = _blend_h(row[j - 1], tile, blend)
+                tile = _blend_h(done[i][j - 1], tile, blend)
+            done[i][j] = tile
             out_row.append(tile[..., :row_limit, :row_limit])
         out_rows.append(jnp.concatenate(out_row, axis=-1))
     return jnp.concatenate(out_rows, axis=-2)
@@ -499,10 +506,12 @@ def vae_encode_tiled(params, x, cfg: HYVAEConfig = HYVAE_884_16C,
             enc = enc[:, :, 1:]
         tiles.append(enc)
     parts = []
+    prev = None
     for i, tile in enumerate(tiles):
         if i > 0:
-            tile = _blend_t(tiles[i - 1], tile, blend)
+            tile = _blend_t(prev, tile, blend)
             parts.append(tile[:, :, :limit])
         else:
             parts.append(tile[:, :, :limit + 1])
+        prev = tile
     return jnp.concatenate(parts, axis=2)

@@ -707,3 +707,234 @@ def test_unipc_scheduler_matches_reference():
                           jnp.asarray(noise.numpy()))
     np.testing.assert_allclose(np.asarray(ren), ren_ref, atol=1e-5,
                                rtol=1e-4)
+
+
+def _install_hyvae_stubs():
+    """diffusers surfaces the HY causal VAE imports, including a faithful
+    single-block ``Attention`` (the deprecated attn-block semantics the
+    mid block relies on)."""
+    _install_scheduler_stubs()
+    import importlib.machinery
+
+    def mk(name):
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        sys.modules[name] = m
+        return m
+
+    du = sys.modules["diffusers.utils"]
+    if not hasattr(du, "is_torch_version"):
+        du.is_torch_version = lambda op, v: False
+    if "diffusers.utils.accelerate_utils" not in sys.modules:
+        au = mk("diffusers.utils.accelerate_utils")
+        au.apply_forward_hook = lambda fn: fn
+        du.accelerate_utils = au
+    if "diffusers.utils.torch_utils" not in sys.modules:
+        tu = mk("diffusers.utils.torch_utils")
+
+        def randn_tensor(shape, generator=None, device=None, dtype=None):
+            return torch.randn(shape, generator=generator, device=device,
+                               dtype=dtype)
+
+        tu.randn_tensor = randn_tensor
+        du.torch_utils = tu
+    if "diffusers.loaders" not in sys.modules:
+        ld = mk("diffusers.loaders")
+
+        class FromOriginalVAEMixin:
+            pass
+
+        ld.FromOriginalVAEMixin = FromOriginalVAEMixin
+    sys.modules["diffusers.models"].__path__ = []   # mark as package
+    if "diffusers.models.normalization" not in sys.modules:
+        nrm = mk("diffusers.models.normalization")
+
+        class AdaGroupNorm(torch.nn.Module):
+            pass
+
+        class RMSNorm(torch.nn.Module):
+            pass
+
+        nrm.AdaGroupNorm = AdaGroupNorm
+        nrm.RMSNorm = RMSNorm
+        sys.modules["diffusers.models"].normalization = nrm
+    if "diffusers.models.activations" not in sys.modules:
+        act = mk("diffusers.models.activations")
+        act.get_activation = lambda name: {
+            "silu": torch.nn.SiLU(), "swish": torch.nn.SiLU(),
+            "relu": torch.nn.ReLU(), "gelu": torch.nn.GELU()}[name]
+    if "diffusers.models.modeling_outputs" not in sys.modules:
+        mo = mk("diffusers.models.modeling_outputs")
+        BaseOutput = du.BaseOutput
+
+        class AutoencoderKLOutput(BaseOutput):
+            pass
+
+        mo.AutoencoderKLOutput = AutoencoderKLOutput
+    if "diffusers.models.attention_processor" not in sys.modules:
+        ap = mk("diffusers.models.attention_processor")
+        nn = torch.nn
+
+        class Attention(nn.Module):
+            """Deprecated-attn-block semantics: group norm over channels,
+            single-projection MHA, residual add, output rescale."""
+
+            def __init__(self, query_dim, heads=1, dim_head=64,
+                         rescale_output_factor=1.0, eps=1e-6,
+                         norm_num_groups=32, spatial_norm_dim=None,
+                         residual_connection=True, bias=True,
+                         upcast_softmax=True,
+                         _from_deprecated_attn_block=True, **kw):
+                super().__init__()
+                inner = heads * dim_head
+                self.heads = heads
+                self.dim_head = dim_head
+                self.rescale_output_factor = rescale_output_factor
+                self.residual_connection = residual_connection
+                self.group_norm = nn.GroupNorm(norm_num_groups, query_dim,
+                                               eps=eps)
+                self.to_q = nn.Linear(query_dim, inner, bias=bias)
+                self.to_k = nn.Linear(query_dim, inner, bias=bias)
+                self.to_v = nn.Linear(query_dim, inner, bias=bias)
+                self.to_out = nn.ModuleList(
+                    [nn.Linear(inner, query_dim, bias=True),
+                     nn.Dropout(0.0)])
+
+            def forward(self, hidden_states, temb=None,
+                        attention_mask=None):
+                res = hidden_states
+                b, s, c = hidden_states.shape
+                h = self.group_norm(
+                    hidden_states.transpose(1, 2)).transpose(1, 2)
+                q = self.to_q(h).view(b, s, self.heads, self.dim_head)
+                k = self.to_k(h).view(b, s, self.heads, self.dim_head)
+                v = self.to_v(h).view(b, s, self.heads, self.dim_head)
+                logits = torch.einsum(
+                    "bqhd,bkhd->bhqk", q.float(), k.float()) \
+                    * self.dim_head ** -0.5
+                if attention_mask is not None:
+                    logits = logits + attention_mask[:, None].float()
+                a = logits.softmax(dim=-1).to(v.dtype)
+                out = torch.einsum("bhqk,bkhd->bqhd", a, v)
+                out = self.to_out[0](out.reshape(b, s, -1))
+                if self.residual_connection:
+                    out = out + res
+                return out / self.rescale_output_factor
+
+        class AttentionProcessor:
+            pass
+
+        ap.Attention = Attention
+        ap.AttentionProcessor = AttentionProcessor
+        ap.AttnProcessor = AttentionProcessor
+        ap.AttnAddedKVProcessor = AttentionProcessor
+        ap.SpatialNorm = type("SpatialNorm", (nn.Module,), {})
+        ap.ADDED_KV_ATTENTION_PROCESSORS = ()
+        ap.CROSS_ATTENTION_PROCESSORS = ()
+        models_pkg = sys.modules["diffusers.models"]
+        models_pkg.attention_processor = ap
+
+
+def _load_reference_hyvae():
+    _install_hyvae_stubs()
+    root = types.ModuleType("refhyvae")
+    root.__path__ = [os.path.join(REF, "hyvideo", "vae")]
+    sys.modules["refhyvae"] = root
+
+    def load(name, fname):
+        key = f"refhyvae.{name}"
+        if key in sys.modules:
+            return sys.modules[key]
+        spec = importlib.util.spec_from_file_location(
+            key, os.path.join(REF, "hyvideo", "vae", fname))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[key] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    load("unet_causal_3d_blocks", "unet_causal_3d_blocks.py")
+    load("vae", "vae.py")
+    return load("autoencoder_kl_causal_3d", "autoencoder_kl_causal_3d.py")
+
+
+def test_hy_vae_matches_reference():
+    """Our causal 3D VAE encode/decode vs the reference
+    AutoencoderKLCausal3D (884 layout) with converted weights."""
+    import jax
+    import jax.numpy as jnp
+    from jenga_tpu.codec import vae_hy
+    from jenga_tpu.convert import convert_hyvae
+
+    mod = _load_reference_hyvae()
+    torch.manual_seed(0)
+    ref = mod.AutoencoderKLCausal3D(
+        in_channels=3, out_channels=3,
+        down_block_types=("DownEncoderBlockCausal3D",) * 4,
+        up_block_types=("UpDecoderBlockCausal3D",) * 4,
+        block_out_channels=(8, 16, 16, 16), layers_per_block=1,
+        latent_channels=4, norm_num_groups=4, sample_size=32,
+        sample_tsize=8, time_compression_ratio=4,
+        spatial_compression_ratio=8).eval().float()
+
+    cfg = vae_hy.HYVAEConfig(block_out_channels=(8, 16, 16, 16),
+                             layers_per_block=1, latent_channels=4,
+                             norm_num_groups=4, sample_size=32,
+                             sample_tsize=8)
+    params = jax.tree.map(jnp.asarray, convert_hyvae(ref.state_dict(), cfg))
+
+    torch.manual_seed(1)
+    x = torch.randn(1, 3, 5, 32, 32)
+    with torch.no_grad():
+        moments = ref.encode(x).latent_dist.parameters.numpy()
+        z = torch.from_numpy(moments[:, :4])
+        dec = ref.decode(z).sample.numpy()
+
+    ours_m = vae_hy.vae_encode(params, jnp.asarray(x.numpy()), cfg)
+    np.testing.assert_allclose(np.asarray(ours_m), moments, atol=2e-4,
+                               rtol=2e-3)
+    ours_d = vae_hy.vae_decode(params, jnp.asarray(z.numpy()), cfg)
+    np.testing.assert_allclose(np.asarray(ours_d), dec, atol=5e-4,
+                               rtol=5e-3)
+
+
+def test_hy_vae_tiled_matches_reference():
+    """Tiled encode + decode (spatial + temporal, seam blending and crops)
+    vs the reference tilers at multi-tile shapes."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from jenga_tpu.codec import vae_hy
+    from jenga_tpu.convert import convert_hyvae
+
+    mod = _load_reference_hyvae()
+    torch.manual_seed(0)
+    ref = mod.AutoencoderKLCausal3D(
+        in_channels=3, out_channels=3,
+        down_block_types=("DownEncoderBlockCausal3D",) * 4,
+        up_block_types=("UpDecoderBlockCausal3D",) * 4,
+        block_out_channels=(8, 16, 16, 16), layers_per_block=1,
+        latent_channels=4, norm_num_groups=4, sample_size=64,
+        sample_tsize=16, time_compression_ratio=4,
+        spatial_compression_ratio=8).eval().float()
+    ref.enable_spatial_tiling(True)
+    ref.enable_temporal_tiling(True)
+
+    cfg = vae_hy.HYVAEConfig(block_out_channels=(8, 16, 16, 16),
+                             layers_per_block=1, latent_channels=4,
+                             norm_num_groups=4, sample_size=64,
+                             sample_tsize=16)
+    params = jax.tree.map(jnp.asarray, convert_hyvae(ref.state_dict(), cfg))
+
+    torch.manual_seed(1)
+    x = torch.randn(1, 3, 21, 96, 96)   # > sample_tsize and > sample_size
+    with torch.no_grad():
+        moments = ref.encode(x).latent_dist.parameters.numpy()
+        z = torch.from_numpy(moments[:, :4])
+        dec = ref.decode(z).sample.numpy()
+
+    ours_m = vae_hy.vae_encode_tiled(params, jnp.asarray(x.numpy()), cfg)
+    np.testing.assert_allclose(np.asarray(ours_m), moments, atol=5e-4,
+                               rtol=5e-3)
+    ours_d = vae_hy.vae_decode_tiled(params, jnp.asarray(z.numpy()), cfg)
+    np.testing.assert_allclose(np.asarray(ours_d), dec, atol=1e-3,
+                               rtol=1e-2)
