@@ -938,3 +938,66 @@ def test_hy_vae_tiled_matches_reference():
     ours_d = vae_hy.vae_decode_tiled(params, jnp.asarray(z.numpy()), cfg)
     np.testing.assert_allclose(np.asarray(ours_d), dec, atol=1e-3,
                                rtol=1e-2)
+
+
+def test_block_importance_selection_matches_reference():
+    """The carving planner's top-p + adjacency + text/first-frame forcing
+    vs the reference's one-hot builder (the heart of AttenCarve), with
+    triton/flash-attn stubbed so the pure-torch builder imports."""
+    import importlib.machinery
+    import jax
+    import jax.numpy as jnp
+    from jenga_tpu.sparse.planner import build_block_mask
+
+    _install_stubs()
+    # initialize dynamo BEFORE faking triton so torch caches
+    # "no triton available" instead of probing the stub
+    import torch._dynamo  # noqa: F401
+    import torch._inductor.runtime.hints  # noqa: F401
+    if "triton" not in sys.modules:
+        tr = types.ModuleType("triton")
+        tr.__spec__ = importlib.machinery.ModuleSpec("triton", None)
+        tr.jit = lambda fn=None, **kw: (fn if fn is not None
+                                        else (lambda f: f))
+        tr.autotune = lambda *a, **k: (lambda f: f)
+        tr.cdiv = lambda a, b: (a + b - 1) // b
+        tl = types.ModuleType("triton.language")
+        tl.__spec__ = importlib.machinery.ModuleSpec("triton.language", None)
+        tl.constexpr = int
+        tl.dtype = type("dtype", (), {})   # torch._dynamo probes this
+        tr.language = tl
+        sys.modules["triton"] = tr
+        sys.modules["triton.language"] = tl
+    if "flash_attn" not in sys.modules:
+        fa = types.ModuleType("flash_attn")
+        fa.__spec__ = importlib.machinery.ModuleSpec("flash_attn", None)
+        fa.flash_attn_func = None
+        sys.modules["flash_attn"] = fa
+
+    mod = _load_wan_module("blocksparse", "attention_block_triton_diffres.py")
+
+    torch.manual_seed(0)
+    b, h, d = 2, 3, 32
+    tsb, tb, ff = 6, 2, 1
+    nkb = tsb + tb
+    q = torch.randn(b, h, tsb * 128, d)
+    k = torch.randn(b, h, nkb * 128, d)
+    neighbors = torch.rand(tsb, tsb) < 0.2
+    neighbors |= torch.eye(tsb, dtype=torch.bool)
+    # reference expects a [nqb, nkb]-indexable neighbor tensor
+    nb_ref = torch.zeros(nkb, nkb, dtype=torch.bool)
+    nb_ref[:tsb, :tsb] = neighbors
+
+    with torch.no_grad():
+        ref_mask = mod._build_block_index_with_importance_optimized(
+            q, k, top_k=2, block_size_M=128, block_size_N=128,
+            text_start_block=tsb, num_blocks=nkb, prob_threshold=0.6,
+            text_blocks=tb, block_neighbor_list=nb_ref,
+            first_frame_blocks=ff).numpy()
+
+    ours = build_block_mask(
+        jnp.asarray(q.numpy()), jnp.asarray(k.numpy()), top_k=2,
+        p_remain=0.6, text_start_block=tsb, text_blocks=tb,
+        block_neighbors=jnp.asarray(nb_ref.numpy()),
+        first_frame_blocks=ff)
+    np.testing.assert_array_equal(np.asarray(ours), ref_mask)
