@@ -67,6 +67,12 @@ def _ln(sd, name):
 def convert_llama(sd: dict, cfg, dtype=np.float32) -> dict:
     """HF LlamaModel / llava ``language_model`` state dict ->
     ``jenga_tpu.text.llama`` tree."""
+    # the LM head lives OUTSIDE the model.* prefix in ForCausalLM dicts
+    lm_head = None
+    for hk in ("lm_head.weight", "language_model.lm_head.weight"):
+        if hk in sd:
+            lm_head = {"w": _np(sd[hk]).T.astype(dtype)}
+            break
     sd = strip_prefix(sd, "language_model.model.", "language_model.",
                       "model.")
     blocks = []
@@ -75,10 +81,11 @@ def convert_llama(sd: dict, cfg, dtype=np.float32) -> dict:
         blocks.append({
             "input_norm": _np(
                 sd[f"{pre}.input_layernorm.weight"]).astype(np.float32),
-            "q": _linw(sd, f"{pre}.self_attn.q_proj", dtype),
-            "k": _linw(sd, f"{pre}.self_attn.k_proj", dtype),
-            "v": _linw(sd, f"{pre}.self_attn.v_proj", dtype),
-            "o": _linw(sd, f"{pre}.self_attn.o_proj", dtype),
+            # _linwb keeps biases when present (Qwen2-style checkpoints)
+            "q": _linwb(sd, f"{pre}.self_attn.q_proj", dtype),
+            "k": _linwb(sd, f"{pre}.self_attn.k_proj", dtype),
+            "v": _linwb(sd, f"{pre}.self_attn.v_proj", dtype),
+            "o": _linwb(sd, f"{pre}.self_attn.o_proj", dtype),
             "post_norm": _np(
                 sd[f"{pre}.post_attention_layernorm.weight"]).astype(
                     np.float32),
@@ -86,11 +93,14 @@ def convert_llama(sd: dict, cfg, dtype=np.float32) -> dict:
             "up": _linw(sd, f"{pre}.mlp.up_proj", dtype),
             "down": _linw(sd, f"{pre}.mlp.down_proj", dtype),
         })
-    return {
+    params = {
         "embed": _np(sd["embed_tokens.weight"]).astype(dtype),
         "blocks": blocks,
         "final_norm": _np(sd["norm.weight"]).astype(np.float32),
     }
+    if lm_head is not None:          # untied LM head (generation)
+        params["lm_head"] = lm_head
+    return params
 
 
 # -------------------------------------------------------------- CLIP text

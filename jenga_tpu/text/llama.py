@@ -160,3 +160,173 @@ def _rope_half(x, cos, sin):
     xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
     return jnp.concatenate([xf1 * c - xf2 * s, xf2 * c + xf1 * s],
                            axis=-1).astype(x.dtype)
+
+
+# ------------------------------------------------------------- generation
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int):
+    """Per-layer KV cache arrays [B, max_len, kv_heads, head_dim] (f32)."""
+    shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return [{"k": jnp.zeros(shape, jnp.float32),
+             "v": jnp.zeros(shape, jnp.float32)}
+            for _ in range(cfg.num_layers)]
+
+
+def _attn_with_cache(q, k_cache, v_cache, n, nkv, valid_len):
+    """q [B, Tq, n, hd] against the cache's first ``valid_len`` entries."""
+    b, tq, _, hd = q.shape
+    max_len = k_cache.shape[1]
+    if nkv != n:
+        k_cache = jnp.repeat(k_cache, n // nkv, axis=2)
+        v_cache = jnp.repeat(v_cache, n // nkv, axis=2)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                        k_cache) * hd ** -0.5
+    pos_k = jnp.arange(max_len)[None, None, None, :]
+    mask = pos_k < valid_len.reshape(-1, 1, 1, 1)
+    logits = jnp.where(mask, logits, -1e30)
+    a = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", a, v_cache)
+    return out.reshape(b, tq, n * hd)
+
+
+def llama_prefill(params, cfg: LlamaConfig, token_ids, attention_mask,
+                  max_len: int):
+    """Run the prompt through the LM, filling a KV cache of ``max_len``.
+
+    Returns (logits_last [B, vocab], cache, lengths [B]). Assumes
+    right-padded prompts (positions = arange)."""
+    b, s = token_ids.shape
+    n, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    cos_full, sin_full = L.rope_table_1d(np.arange(max_len), hd,
+                                         theta=cfg.rope_theta)
+    cos = jnp.asarray(cos_full[:s])
+    sin = jnp.asarray(sin_full[:s])
+    lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=-1)
+
+    h = params["embed"][token_ids]
+    causal = jnp.tril(jnp.ones((s, s), bool))
+    key_ok = attention_mask.astype(bool)[:, None, :]
+    bias = jnp.where(causal[None] & key_ok, 0.0, -1e30)
+
+    cache = init_kv_cache(cfg, b, max_len)
+    for li, p in enumerate(params["blocks"]):
+        x = L.rms_norm(h, p["input_norm"], cfg.rms_eps)
+        q = _rope_half(L.linear(p["q"], x).reshape(b, s, n, hd), cos, sin)
+        k = _rope_half(L.linear(p["k"], x).reshape(b, s, nkv, hd), cos, sin)
+        v = L.linear(p["v"], x).reshape(b, s, nkv, hd)
+        cache[li]["k"] = cache[li]["k"].at[:, :s].set(
+            k.astype(jnp.float32))
+        cache[li]["v"] = cache[li]["v"].at[:, :s].set(
+            v.astype(jnp.float32))
+        if nkv != n:
+            k = jnp.repeat(k, n // nkv, axis=2)
+            v = jnp.repeat(v, n // nkv, axis=2)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                            k.astype(jnp.float32)) * hd ** -0.5
+        logits = logits + bias[:, None]
+        a = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", a, v.astype(jnp.float32))
+        h = h + L.linear(p["o"], attn.reshape(b, s, -1).astype(h.dtype))
+        x = L.rms_norm(h, p["post_norm"], cfg.rms_eps)
+        h = h + L.linear(p["down"],
+                         jax.nn.silu(L.linear(p["gate"], x))
+                         * L.linear(p["up"], x))
+    h = L.rms_norm(h, params["final_norm"], cfg.rms_eps)
+    # logits at each sample's LAST real token
+    last = h[jnp.arange(b), lengths - 1]
+    # lm_head defaults to tied embeddings (HF tie_word_embeddings)
+    head = params.get("lm_head", {"w": params["embed"].T})
+    logits = L.linear(head, last)
+    return logits.astype(jnp.float32), cache, lengths
+
+
+def llama_decode_step(params, cfg: LlamaConfig, token, pos, cache,
+                      rope_cos, rope_sin):
+    """One decode step: ``token`` [B] at position ``pos`` [B] (0-based).
+    Returns (logits [B, vocab], cache)."""
+    b = token.shape[0]
+    n, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    cos = rope_cos[pos][:, None, None, :]   # [B,1,1,hd/2] per-sample pos
+    sin = rope_sin[pos][:, None, None, :]
+
+    h = params["embed"][token][:, None]     # [B, 1, d]
+    for li, p in enumerate(params["blocks"]):
+        x = L.rms_norm(h, p["input_norm"], cfg.rms_eps)
+        q = L.linear(p["q"], x).reshape(b, 1, n, hd)
+        k = L.linear(p["k"], x).reshape(b, 1, nkv, hd)
+        v = L.linear(p["v"], x).reshape(b, 1, nkv, hd)
+        q = _rope_pointwise(q, cos, sin)
+        k = _rope_pointwise(k, cos, sin)
+        # scatter k/v at pos per sample
+        onehot = jax.nn.one_hot(pos, cache[li]["k"].shape[1],
+                                dtype=jnp.float32)   # [B, max_len]
+        cache[li]["k"] = cache[li]["k"] \
+            + onehot[:, :, None, None] * k.astype(jnp.float32)
+        cache[li]["v"] = cache[li]["v"] \
+            + onehot[:, :, None, None] * v.astype(jnp.float32)
+        attn = _attn_with_cache(q, cache[li]["k"], cache[li]["v"], n, nkv,
+                                pos + 1)
+        h = h + L.linear(p["o"], attn.astype(h.dtype))
+        x = L.rms_norm(h, p["post_norm"], cfg.rms_eps)
+        h = h + L.linear(p["down"],
+                         jax.nn.silu(L.linear(p["gate"], x))
+                         * L.linear(p["up"], x))
+    h = L.rms_norm(h, params["final_norm"], cfg.rms_eps)[:, 0]
+    head = params.get("lm_head", {"w": params["embed"].T})
+    logits = L.linear(head, h)
+    return logits.astype(jnp.float32), cache
+
+
+def _rope_pointwise(x, cos, sin):
+    hd = x.shape[-1]
+    x1, x2 = x[..., :hd // 2].astype(jnp.float32), \
+        x[..., hd // 2:].astype(jnp.float32)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
+                           axis=-1).astype(x.dtype)
+
+
+def llama_generate(params, cfg: LlamaConfig, token_ids, attention_mask,
+                   max_new_tokens: int = 128, eos_token_id=None,
+                   temperature: float = 0.0, key=None):
+    """Greedy (or sampled) decoding with a KV cache.
+
+    ``token_ids`` [B, S] right-padded prompts. Returns a list of generated
+    token-id lists (without the prompt), each stopped at ``eos_token_id``.
+    """
+    import functools
+    b, s = token_ids.shape
+    max_len = s + max_new_tokens
+    cos, sin = L.rope_table_1d(np.arange(max_len), cfg.head_dim,
+                               theta=cfg.rope_theta)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+    prefill = jax.jit(functools.partial(llama_prefill, cfg=cfg,
+                                        max_len=max_len))
+    step = jax.jit(functools.partial(llama_decode_step, cfg=cfg))
+
+    logits, cache, lengths = prefill(params, token_ids=token_ids,
+                                     attention_mask=attention_mask)
+    out = [[] for _ in range(b)]
+    done = [False] * b
+    pos = lengths  # next write position per sample
+    for t in range(max_new_tokens):
+        if temperature > 0.0 and key is not None:
+            key, sub = jax.random.split(key)
+            token = jax.random.categorical(sub, logits / temperature,
+                                           axis=-1)
+        else:
+            token = jnp.argmax(logits, axis=-1)
+        tok_host = np.asarray(token)
+        for i in range(b):
+            if not done[i]:
+                if eos_token_id is not None and tok_host[i] == eos_token_id:
+                    done[i] = True
+                else:
+                    out[i].append(int(tok_host[i]))
+        if all(done):
+            break
+        logits, cache = step(params, token=token, pos=pos, cache=cache,
+                             rope_cos=cos, rope_sin=sin)
+        pos = pos + 1
+    return out

@@ -15,7 +15,7 @@ import dataclasses
 
 __all__ = ["T2V_EXTEND_SYSTEM_PROMPT", "I2V_EXTEND_SYSTEM_PROMPT",
            "REWRITE_NORMAL_SYSTEM_PROMPT", "REWRITE_MASTER_SYSTEM_PROMPT",
-           "PromptExpander"]
+           "PromptExpander", "LocalLLMExpander"]
 
 T2V_EXTEND_SYSTEM_PROMPT = (
     "You are a prompt engineer for a text-to-video model. Expand the "
@@ -66,3 +66,73 @@ class PromptExpander:
             f"Image: {image_description}\nInstruction: {prompt}")
         out = self.chat_fn(system, user)
         return out.strip() or prompt
+
+
+class LocalLLMExpander:
+    """Local prompt-expander model (reference ``QwenPromptExpander``,
+    `/root/reference/wan/utils/prompt_extend.py:288-545`): loads any
+    llama/Qwen2-architecture HF checkpoint dir and generates the expanded
+    prompt on-device with the JAX LM + KV cache."""
+
+    def __init__(self, model_dir: str, max_new_tokens: int = 256,
+                 temperature: float = 0.0, dtype: str = "bfloat16"):
+        import json
+        import os
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..convert import load_safetensors_state_dict, \
+            load_torch_state_dict
+        from ..convert.encoders import convert_llama
+        from .llama import LlamaConfig
+
+        with open(os.path.join(model_dir, "config.json")) as f:
+            hf = json.load(f)
+        self.cfg = LlamaConfig(
+            vocab_size=hf["vocab_size"],
+            hidden_size=hf["hidden_size"],
+            intermediate_size=hf["intermediate_size"],
+            num_layers=hf["num_hidden_layers"],
+            num_heads=hf["num_attention_heads"],
+            num_kv_heads=hf.get("num_key_value_heads",
+                                hf["num_attention_heads"]),
+            rope_theta=hf.get("rope_theta", 10000.0),
+            rms_eps=hf.get("rms_norm_eps", 1e-6),
+            dtype=dtype)
+        try:
+            sd = load_safetensors_state_dict(model_dir)
+        except FileNotFoundError:
+            pt = os.path.join(model_dir, "pytorch_model.bin")
+            sd = load_torch_state_dict(pt)
+        self.params = jax.tree.map(jnp.asarray, convert_llama(sd, self.cfg))
+        from transformers import AutoTokenizer
+        self.tok = AutoTokenizer.from_pretrained(model_dir)
+        self.max_new_tokens = max_new_tokens
+        self.temperature = temperature
+
+    def __call__(self, system: str, user: str) -> str:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .llama import llama_generate
+
+        messages = [{"role": "system", "content": system},
+                    {"role": "user", "content": user}]
+        try:
+            text = self.tok.apply_chat_template(
+                messages, tokenize=False, add_generation_prompt=True)
+        except Exception:
+            text = f"{system}\n\n{user}\n"
+        enc = self.tok(text, return_tensors="np")
+        ids = jnp.asarray(enc["input_ids"])
+        mask = jnp.asarray(enc.get(
+            "attention_mask", np.ones_like(enc["input_ids"])))
+        out = llama_generate(
+            self.params, self.cfg, ids, mask,
+            max_new_tokens=self.max_new_tokens,
+            eos_token_id=self.tok.eos_token_id,
+            temperature=self.temperature,
+            key=jax.random.PRNGKey(0) if self.temperature > 0 else None)
+        return self.tok.decode(out[0], skip_special_tokens=True)

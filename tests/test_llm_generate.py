@@ -1,0 +1,115 @@
+"""Autoregressive generation (KV cache) vs HF transformers, and the local
+prompt expander end-to-end on a synthetic checkpoint."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from jenga_tpu.convert.encoders import convert_llama
+from jenga_tpu.text.llama import LlamaConfig, llama_generate, llama_prefill
+
+
+def _tiny_lm(vocab=64, qkv_bias=False, tie=True):
+    from transformers import LlamaConfig as HFCfg, LlamaForCausalLM
+    hf_cfg = HFCfg(vocab_size=vocab, hidden_size=32, intermediate_size=64,
+                   num_hidden_layers=2, num_attention_heads=4,
+                   num_key_value_heads=2, rope_theta=10000.0,
+                   rms_norm_eps=1e-5, attention_bias=qkv_bias,
+                   tie_word_embeddings=tie)
+    torch.manual_seed(0)
+    return LlamaForCausalLM(hf_cfg).eval()
+
+
+def _our_cfg(vocab=64):
+    return LlamaConfig(vocab_size=vocab, hidden_size=32,
+                       intermediate_size=64, num_layers=2, num_heads=4,
+                       num_kv_heads=2, rope_theta=10000.0, rms_eps=1e-5,
+                       dtype="float32")
+
+
+def test_greedy_generate_matches_hf():
+    model = _tiny_lm()
+    cfg = _our_cfg()
+    params = jax.tree.map(jnp.asarray,
+                          convert_llama(model.state_dict(), cfg))
+    torch.manual_seed(1)
+    ids = torch.randint(0, 64, (1, 7))
+    with torch.no_grad():
+        hf_out = model.generate(ids, max_new_tokens=8, do_sample=False,
+                                eos_token_id=None,
+                                pad_token_id=0).numpy()[0, 7:]
+    ours = llama_generate(params, cfg, jnp.asarray(ids.numpy()),
+                          jnp.ones((1, 7), jnp.int32), max_new_tokens=8)
+    assert ours[0] == hf_out.tolist()
+
+
+def test_greedy_generate_matches_hf_qwen_style_bias():
+    """attention_bias=True exercises the Qwen2-style qkv biases."""
+    model = _tiny_lm(qkv_bias=True, tie=False)
+    cfg = _our_cfg()
+    params = jax.tree.map(jnp.asarray,
+                          convert_llama(model.state_dict(), cfg))
+    assert "lm_head" in params          # untied head converted
+    assert "b" in params["blocks"][0]["q"]   # bias picked up
+    torch.manual_seed(2)
+    ids = torch.randint(0, 64, (1, 5))
+    with torch.no_grad():
+        hf_out = model.generate(ids, max_new_tokens=6, do_sample=False,
+                                eos_token_id=None,
+                                pad_token_id=0).numpy()[0, 5:]
+    ours = llama_generate(params, cfg, jnp.asarray(ids.numpy()),
+                          jnp.ones((1, 5), jnp.int32), max_new_tokens=6)
+    assert ours[0] == hf_out.tolist()
+
+
+def test_prefill_logits_match_hf():
+    model = _tiny_lm()
+    cfg = _our_cfg()
+    params = jax.tree.map(jnp.asarray,
+                          convert_llama(model.state_dict(), cfg))
+    torch.manual_seed(3)
+    ids = torch.randint(0, 64, (2, 6))
+    mask = torch.ones(2, 6, dtype=torch.long)
+    mask[1, 4:] = 0
+    with torch.no_grad():
+        hf_logits = model(input_ids=ids, attention_mask=mask).logits
+    logits, cache, lengths = llama_prefill(
+        params, cfg, jnp.asarray(ids.numpy()), jnp.asarray(mask.numpy()),
+        max_len=16)
+    np.testing.assert_allclose(np.asarray(logits[0]),
+                               hf_logits[0, -1].numpy(), atol=2e-4,
+                               rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(logits[1]),
+                               hf_logits[1, 3].numpy(), atol=2e-4,
+                               rtol=2e-3)
+    assert np.asarray(lengths).tolist() == [6, 4]
+
+
+def test_local_llm_expander_end_to_end(tmp_path):
+    """LocalLLMExpander drives a saved tiny checkpoint through the chat
+    template + generate path."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from jenga_tpu.text.prompt_extend import (LocalLLMExpander,
+                                              PromptExpander)
+
+    model = _tiny_lm()
+    model.save_pretrained(str(tmp_path))
+    vocab = {f"w{i}": i for i in range(62)}
+    vocab["<pad>"] = 62
+    vocab["<unk>"] = 63
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.save(str(tmp_path / "tokenizer.json"))
+    (tmp_path / "tokenizer_config.json").write_text(json.dumps(
+        {"tokenizer_class": "PreTrainedTokenizerFast",
+         "pad_token": "<pad>", "unk_token": "<unk>", "eos_token": "<pad>",
+         "model_max_length": 512}))
+
+    exp = LocalLLMExpander(str(tmp_path), max_new_tokens=4)
+    out = PromptExpander(chat_fn=exp, mode="t2v")("w1 w2 w3")
+    assert isinstance(out, str) and len(out) > 0
