@@ -55,6 +55,12 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("--ulysses-degree", type=int, default=1,
                    help="sequence-parallel degree (mesh over the first N "
                         "devices; Ulysses attention + FSDP params)")
+    p.add_argument("--prompt-extend-model", type=str, default=None,
+                   help="HF dir of a llama/Qwen2 LM used to expand the "
+                        "prompt before encoding (reference "
+                        "--use_prompt_extend)")
+    p.add_argument("--prompt-extend-mode", default="t2v",
+                   choices=["t2v", "i2v", "rewrite", "master"])
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -120,6 +126,18 @@ def _save(args, out):
     _save_output(args.save_path, out, args.latents_only)
 
 
+def _maybe_extend_prompt(args, prompt):
+    if not args.prompt_extend_model:
+        return prompt
+    from .text.prompt_extend import LocalLLMExpander, PromptExpander
+    expander = PromptExpander(
+        chat_fn=LocalLLMExpander(args.prompt_extend_model),
+        mode=args.prompt_extend_mode)
+    extended = expander(prompt)
+    print(f"extended prompt: {extended}")
+    return extended
+
+
 def _maybe_run_batch(args, generate_fn):
     """If --prompt-file was given, run the id-stamped batch loop and
     return True (reference `/root/reference/jenga_wan.py:947-981`)."""
@@ -182,7 +200,7 @@ def run_hyvideo_t2v(args):
     if _maybe_run_batch(args, gen):
         return
     t0 = time.time()
-    out = gen(args.prompt)
+    out = gen(_maybe_extend_prompt(args, args.prompt))
     print(json.dumps({"gen_time_s": round(time.time() - t0, 2)}))
     _save(args, out)
 
@@ -343,7 +361,7 @@ def run_wan_t2v(args):
     if _maybe_run_batch(args, gen):
         return
     t0 = time.time()
-    out = gen(args.prompt)
+    out = gen(_maybe_extend_prompt(args, args.prompt))
     print(json.dumps({"gen_time_s": round(time.time() - t0, 2)}))
     _save(args, out)
 
