@@ -28,7 +28,6 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-import dataclasses  # noqa: E402
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

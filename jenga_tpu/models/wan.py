@@ -23,7 +23,6 @@ Differences from the reference, by design:
 from __future__ import annotations
 
 import dataclasses
-import functools
 import math
 
 import jax

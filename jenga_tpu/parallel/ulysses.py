@@ -18,7 +18,6 @@ the reference's per-rank table slicing (``pad_freqs``).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

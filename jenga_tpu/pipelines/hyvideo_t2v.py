@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..curves.blocks import build_curve_plan
-from ..diffusion.flow_match import FlowMatchSchedule, flow_match_schedule
+from ..diffusion.flow_match import flow_match_schedule
 from ..diffusion.skip import HYVIDEO_NON_SKIP_STEPS, fixed_compute_schedule
 from ..models import hyvideo as hy
 

@@ -12,7 +12,6 @@ Carving/TeaCache reuse the T2V machinery.
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ TPU-first redesign of the reference ``t2v_generate``
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import jax
 import jax.numpy as jnp

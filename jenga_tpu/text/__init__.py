@@ -8,7 +8,6 @@ uses HF tokenizers, `/root/reference/wan/modules/tokenizers.py:37-82`,
 
 from __future__ import annotations
 
-import dataclasses
 
 import numpy as np
 

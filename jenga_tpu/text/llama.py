@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import layers as L
-from ..ops.flash_attention import dense_attention
 
 __all__ = ["LlamaConfig", "init_llama_params", "llama_hidden_states",
            "PROMPT_TEMPLATE_VIDEO", "PROMPT_TEMPLATE_IMAGE",

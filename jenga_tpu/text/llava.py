@@ -16,7 +16,6 @@ enter jit.
 
 from __future__ import annotations
 
-import dataclasses
 
 import jax.numpy as jnp
 import numpy as np

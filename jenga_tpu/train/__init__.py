@@ -10,10 +10,8 @@ engine loop maps to an optax-jitted pure train step.
 
 from __future__ import annotations
 
-import functools
 
 import jax
-import jax.numpy as jnp
 
 from .transport import TransportConfig, training_loss
 from .lora import apply_lora, init_lora
