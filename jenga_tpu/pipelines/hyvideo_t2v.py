@@ -111,7 +111,7 @@ class HYVideoT2VPipeline:
 
     def generate(self, text_states, text_mask, text_states_2,
                  opts: HYT2VOptions, negative=None, decode: bool = True,
-                 on_step=None):
+                 on_step=None, initial_latents=None):
         """Run the ProRes denoise loop.
 
         ``text_states`` [L, 4096] LLM token states, ``text_mask`` [L],
@@ -170,8 +170,11 @@ class HYVideoT2VPipeline:
         key = jax.random.PRNGKey(opts.seed)
         key, k0 = jax.random.split(key)
         lat0 = shapes[0][0]
-        latents = jax.random.normal(
-            k0, (1, cfg.in_channels, *lat0), jnp.float32)
+        if initial_latents is not None:
+            latents = jnp.asarray(initial_latents, jnp.float32)[None]
+        else:
+            latents = jax.random.normal(
+                k0, (1, cfg.in_channels, *lat0), jnp.float32)
 
         schedule = flow_match_schedule(n, shift=opts.scheduler_shift_list[0],
                                        reverse=True)

@@ -166,11 +166,12 @@ class WanT2VPipeline:
     # ---------------------------------------------------------- generation
 
     def generate(self, context, context_null, opts: WanT2VOptions,
-                 decode: bool = True, on_step=None):
+                 decode: bool = True, on_step=None, initial_latents=None):
         """Run the denoise loop. ``context``/``context_null`` are encoded
         prompt embeddings [L, text_dim] (unpadded). Returns decoded video
         (if a VAE is attached and ``decode``) else final latents
-        [C, F, H, W] (f32)."""
+        [C, F, H, W] (f32). ``initial_latents`` [C, F, H, W] overrides the
+        seeded noise (reproducibility / cross-implementation parity)."""
         from ..configs.validate import validate_wan_options
         validate_wan_options(opts)
         cfg = self.cfg
@@ -184,7 +185,11 @@ class WanT2VPipeline:
 
         key = jax.random.PRNGKey(opts.seed)
         k0, k1 = jax.random.split(key)
-        latents = jax.random.normal(k0, (1, c, f, lh0, lw0), jnp.float32)
+        if initial_latents is not None:
+            latents = jnp.asarray(initial_latents, jnp.float32)[None]
+        else:
+            latents = jax.random.normal(k0, (1, c, f, lh0, lw0),
+                                        jnp.float32)
         stage2_noise = (jax.random.normal(k1, (1, c, f, lh, lw), jnp.float32)
                         if opts.enable_turbo else None)
 

@@ -1001,3 +1001,83 @@ def test_block_importance_selection_matches_reference():
         block_neighbors=jnp.asarray(nb_ref.numpy()),
         first_frame_blocks=ff)
     np.testing.assert_array_equal(np.asarray(ours), ref_mask)
+
+
+def test_wan_full_pipeline_matches_reference_loop():
+    """END-TO-END: our WanT2VPipeline.generate (dense, CFG, UniPC) vs a
+    hand-driven reference loop (reference WanModel + reference UniPC
+    scheduler, converted weights, identical initial noise) — verifies the
+    pipeline glue: CFG combine order, int timestep feeding, solver state
+    threading (reference protocol `/root/reference/jenga_wan.py:207-217`)."""
+    import jax
+    import jax.numpy as jnp
+    from jenga_tpu.convert import convert_wan_dit
+    from jenga_tpu.models.wan import WanConfig, init_wan_params
+    from jenga_tpu.pipelines.wan_t2v import WanT2VOptions, WanT2VPipeline
+
+    model_mod = _load_reference_wan()
+    _install_scheduler_stubs()
+    unipc_mod = _load_file_module(
+        "ref_unipc_e2e", os.path.join(REF, "wan/utils/fm_solvers_unipc.py"))
+
+    torch.manual_seed(0)
+    ref = model_mod.WanModel(
+        model_type="t2v", patch_size=(1, 2, 2), text_len=16, in_dim=16,
+        dim=64, ffn_dim=128, freq_dim=32, text_dim=32, out_dim=16,
+        num_heads=2, num_layers=2, qk_norm=True,
+        cross_attn_norm=True, eps=1e-6).eval().float()
+    torch.nn.init.normal_(ref.head.head.weight, std=0.05)
+
+    f, h, w = 2, 8, 8
+    n_steps, guide, shift = 6, 5.0, 8.0
+    torch.manual_seed(1)
+    noise = torch.randn(16, f, h, w)
+    ctx = torch.randn(9, 32)
+    ctx_null = torch.randn(7, 32)
+    seq_len = f * (h // 2) * (w // 2)
+
+    # ---- reference loop (jenga_wan.py t2v_generate protocol)
+    sched = unipc_mod.FlowUniPCMultistepScheduler(num_train_timesteps=1000,
+                                                  solver_order=2)
+    sched.set_timesteps(n_steps, shift=shift)
+    lat = noise.clone()
+    ref_traj = []
+    with torch.no_grad():
+        for t in sched.timesteps:
+            timestep = torch.stack([t])
+            cond = ref([lat], timestep, [ctx], seq_len)[0]
+            uncond = ref([lat], timestep, [ctx_null], seq_len)[0]
+            pred = uncond + guide * (cond - uncond)
+            lat = sched.step(pred.unsqueeze(0), t, lat.unsqueeze(0),
+                             return_dict=False)[0].squeeze(0)
+            ref_traj.append(lat.numpy().copy())
+    ref_final = lat.numpy()
+
+    # ---- our pipeline
+    cfg = WanConfig(model_type="t2v", text_len=16, in_dim=16, dim=64,
+                    ffn_dim=128, freq_dim=32, text_dim=32, out_dim=16,
+                    num_heads=2, num_layers=2, qk_norm=True,
+                    cross_attn_norm=True, eps=1e-6, dtype="float32")
+    params = jax.tree.map(jnp.asarray, convert_wan_dit(ref.state_dict(), cfg))
+    pipe = WanT2VPipeline(cfg, params)
+    opts = WanT2VOptions(size=(w * 8, h * 8), frame_num=(f - 1) * 4 + 1,
+                         shift=shift, sampling_steps=n_steps,
+                         guide_scale=guide, sa_drop_rates=(0.0, 0.0),
+                         teacache_thresh=None)
+    traj = []
+    ours = pipe.generate(jnp.asarray(ctx.numpy()),
+                         jnp.asarray(ctx_null.numpy()), opts, decode=False,
+                         initial_latents=jnp.asarray(noise.numpy()),
+                         on_step=lambda i, l: traj.append(np.asarray(l)))
+    scale = np.abs(ref_final).max()
+    assert scale > 1e-2
+    # Per-forward f32 noise (~5e-4) is amplified ~6x by CFG at guide 5 and
+    # roughly doubles per UniPC step on an untrained (high-Lipschitz)
+    # model; the budget below is that growth curve, step 0 tight enough
+    # to catch any glue error (wrong timestep/CFG order would blow it).
+    budget = [0.010, 0.020, 0.040, 0.080, 0.160, 0.320]
+    for i, (got, want) in enumerate(zip(traj, ref_traj)):
+        d = float(np.abs(got - want).max())
+        assert d < budget[i], f"step {i}: diff {d} over budget {budget[i]}"
+    np.testing.assert_allclose(np.asarray(ours), ref_final, atol=0.32,
+                               rtol=0.1)
