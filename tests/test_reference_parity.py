@@ -108,6 +108,9 @@ def _load_reference_wan():
         return mod
 
     att = load("attention", "attention.py")
+    # defensive: an earlier test may have faked flash_attn in sys.modules
+    att.FLASH_ATTN_2_AVAILABLE = False
+    att.FLASH_ATTN_3_AVAILABLE = False
     model = load("model", "model.py")
     # CPU run: route the direct flash_attention calls through the SDPA
     # fallback (attention() dispatches on flash-attn availability); keep
@@ -974,7 +977,14 @@ def test_block_importance_selection_matches_reference():
         fa.flash_attn_func = None
         sys.modules["flash_attn"] = fa
 
-    mod = _load_wan_module("blocksparse", "attention_block_triton_diffres.py")
+    try:
+        mod = _load_wan_module("blocksparse",
+                               "attention_block_triton_diffres.py")
+    finally:
+        # don't leak the fake triton/flash_attn into later module loads
+        sys.modules.pop("triton", None)
+        sys.modules.pop("triton.language", None)
+        sys.modules.pop("flash_attn", None)
 
     torch.manual_seed(0)
     b, h, d = 2, 3, 32
