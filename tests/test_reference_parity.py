@@ -1091,3 +1091,98 @@ def test_wan_full_pipeline_matches_reference_loop():
         assert d < budget[i], f"step {i}: diff {d} over budget {budget[i]}"
     np.testing.assert_allclose(np.asarray(ours), ref_final, atol=0.32,
                                rtol=0.1)
+
+
+def test_hy_full_pipeline_matches_reference_loop():
+    """END-TO-END HunyuanVideo: our ProRes pipeline (dense carving, no
+    skipping, flat res schedule, embedded guidance) vs a hand-driven
+    reference loop (reference MMDiT + FlowMatchDiscreteScheduler,
+    converted weights, identical initial noise — the protocol of
+    `/root/reference/jenga_hyvideo.py` with carving off)."""
+    import jax
+    import jax.numpy as jnp
+    from jenga_tpu.convert import convert_hyvideo_dit
+    from jenga_tpu.models.hyvideo import HYVideoConfig
+    from jenga_tpu.pipelines.hyvideo_t2v import (HYT2VOptions,
+                                                 HYVideoT2VPipeline)
+
+    models, posemb = _load_reference_hyvideo()
+    _install_scheduler_stubs()
+    fm_mod = _load_file_module(
+        "ref_fm_e2e", os.path.join(
+            REF, "hyvideo/diffusion/schedulers/"
+                 "scheduling_flow_match_discrete.py"))
+
+    class Args:
+        text_states_dim = 32
+        text_states_dim_2 = 24
+
+    torch.manual_seed(0)
+    ref = models.HYVideoDiffusionTransformer(
+        Args(), patch_size=[1, 2, 2], in_channels=16, out_channels=16,
+        hidden_size=48, heads_num=2, mlp_width_ratio=4.0,
+        mm_double_blocks_depth=2, mm_single_blocks_depth=2,
+        rope_dim_list=[8, 8, 8], qkv_bias=True, qk_norm=True,
+        guidance_embed=True, text_projection="single_refiner",
+        use_attention_mask=True).eval().float()
+    torch.nn.init.normal_(ref.final_layer.linear.weight, std=0.05)
+    torch.nn.init.normal_(ref.final_layer.adaLN_modulation[1].weight,
+                          std=0.05)
+    for blk in ref.txt_in.individual_token_refiner.blocks:
+        torch.nn.init.normal_(blk.adaLN_modulation[1].weight, std=0.05)
+
+    f, h, w = 3, 8, 12
+    tt, th, tw = f, h // 2, w // 2
+    n_steps, flow_shift, g_scale = 5, 7.0, 6.0
+    torch.manual_seed(1)
+    noise = torch.randn(1, 16, f, h, w)
+    txt = torch.randn(1, 10, 32)
+    mask = torch.ones(1, 10, dtype=torch.long)
+    mask[:, 8:] = 0
+    txt2 = torch.randn(1, 24)
+    guidance = torch.tensor([g_scale * 1000.0])
+    fc, fs = posemb.get_nd_rotary_pos_embed(
+        [8, 8, 8], [tt, th, tw], theta=256, use_real=True,
+        theta_rescale_factor=1)
+
+    sched = fm_mod.FlowMatchDiscreteScheduler(shift=flow_shift,
+                                              reverse=True, solver="euler")
+    sched.set_timesteps(n_steps)
+    lat = noise.clone()
+    ref_traj = []
+    with torch.no_grad():
+        for i, t in enumerate(sched.timesteps):
+            v = ref(lat, t.unsqueeze(0), text_states=txt, text_mask=mask,
+                    text_states_2=txt2, freqs_cos=fc, freqs_sin=fs,
+                    guidance=guidance)["x"]
+            lat = sched.step(v, t, lat).prev_sample
+            ref_traj.append(lat.numpy().copy())
+
+    cfg = HYVideoConfig(in_channels=16, out_channels=16, hidden_size=48,
+                        heads_num=2, mlp_ratio=4.0, double_blocks=2,
+                        single_blocks=2, rope_dim_list=(8, 8, 8),
+                        rope_theta=256.0, qkv_bias=True, guidance_embed=True,
+                        text_states_dim=32, text_states_dim_2=24,
+                        refiner_depth=2, dtype="float32")
+    params = jax.tree.map(jnp.asarray,
+                          convert_hyvideo_dit(ref.state_dict(), cfg))
+    pipe = HYVideoT2VPipeline(cfg, params)
+    opts = HYT2VOptions(size=(w * 8, h * 8), video_length=(f - 1) * 4 + 1,
+                        num_inference_steps=n_steps,
+                        embedded_guidance_scale=g_scale,
+                        sa_drop_rates=(0.0, 0.0),
+                        res_rate_list=(1.0, 1.0),
+                        step_rate_list=(0.5, 1.0),
+                        scheduler_shift_list=(flow_shift, flow_shift),
+                        enable_skip=False)
+    traj = []
+    pipe.generate(jnp.asarray(txt.numpy())[0], jnp.asarray(mask.numpy())[0],
+                  jnp.asarray(txt2.numpy())[0], opts, decode=False,
+                  on_step=lambda i, l: traj.append(np.asarray(l)),
+                  initial_latents=jnp.asarray(noise.numpy())[0])
+    # Euler flow-match is first-order: error grows roughly linearly, much
+    # tamer than the UniPC case; no CFG batch (embedded guidance only)
+    budget = [0.01, 0.02, 0.03, 0.05, 0.08]
+    for i, (got, want) in enumerate(zip(traj, ref_traj)):
+        d = float(np.abs(got[None] - want).max())
+        assert d < budget[i], f"step {i}: diff {d} over budget {budget[i]}"
