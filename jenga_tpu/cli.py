@@ -100,6 +100,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep the UMT5 encoder on host CPU")
     w.add_argument("--enable-turbo", action="store_true")
     w.add_argument("--teacache-thresh", type=float, default=None)
+    w.add_argument("--sample-solver", default=None,
+                   choices=["unipc", "dpm++"])
 
     wi = sub.add_parser("wan-i2v", help="Wan2.1 image-to-video")
     _common(wi)
@@ -345,6 +347,8 @@ def run_wan_t2v(args):
         over["enable_turbo"] = True
     if args.teacache_thresh is not None:
         over["teacache_thresh"] = args.teacache_thresh
+    if getattr(args, "sample_solver", None):
+        over["solver"] = args.sample_solver
     opts = get_wan_preset(args.preset, **over)
 
     sampler = _wan_sampler(args, i2v=False)

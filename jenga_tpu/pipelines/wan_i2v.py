@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..curves.blocks import build_curve_plan
-from ..diffusion.unipc import unipc_init, unipc_schedule, unipc_step
+from .wan_t2v import _solver
 from ..models import wan as wan_lib
 from .wan_t2v import WanT2VOptions, WanT2VPipeline
 
@@ -119,8 +119,9 @@ class WanI2VPipeline(WanT2VPipeline):
                                        opts.p_remain)
         full, full_dense, skipped = self._stage_fns_i2v(carve)
 
-        schedule = unipc_schedule(opts.sampling_steps, shift=opts.shift)
-        state = unipc_init(schedule)
+        mk_sched, mk_init, do_step, _, _ = _solver(opts.solver)
+        schedule = mk_sched(opts.sampling_steps, shift=opts.shift)
+        state = mk_init(schedule)
         n = schedule.num_steps
         realized_t = np.array([schedule.timestep(i) for i in range(n)])
         compute = self._teacache_schedule(realized_t, opts, set())
@@ -150,7 +151,7 @@ class WanI2VPipeline(WanT2VPipeline):
                                     top_k)
 
             v = v2[1:2] + opts.guide_scale * (v2[0:1] - v2[1:2])
-            state, latents = unipc_step(schedule, state, v, latents)
+            state, latents = do_step(schedule, state, v, latents)
 
         latents = latents[0]
         if decode and self.vae_decode is not None:

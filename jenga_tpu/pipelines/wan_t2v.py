@@ -26,6 +26,7 @@ import numpy as np
 
 from ..curves.blocks import build_curve_plan
 from ..diffusion import skip as skip_lib
+from ..diffusion import dpm as dpm_lib
 from ..diffusion.unipc import (
     unipc_add_noise,
     unipc_init,
@@ -33,6 +34,19 @@ from ..diffusion.unipc import (
     unipc_step,
     unipc_step_to_zero,
 )
+
+
+def _solver(name: str):
+    """(schedule, init, step, step_to_zero, add_noise) for a solver name
+    (reference ``--sample_solver``, `/root/reference/jenga_wan.py:137-156`:
+    'unipc' | 'dpm++')."""
+    if name in ("unipc",):
+        return (unipc_schedule, unipc_init, unipc_step, unipc_step_to_zero,
+                unipc_add_noise)
+    if name in ("dpm++", "dpm"):
+        return (dpm_lib.dpm_schedule, dpm_lib.dpm_init, dpm_lib.dpm_step,
+                dpm_lib.dpm_step_to_zero, dpm_lib.dpm_add_noise)
+    raise ValueError(f"unknown solver {name!r} (unipc | dpm++)")
 from ..models import wan as wan_lib
 from ..models.layers import sinusoidal_embedding, silu, linear
 
@@ -54,6 +68,7 @@ class WanT2VOptions:
     turbo_switch_step: int = 25
     teacache_thresh: float | None = 0.15
     use_ret_steps: bool = True
+    solver: str = "unipc"       # unipc | dpm++
     curve: str = "sliced"
     seed: int = 0
 
@@ -214,13 +229,14 @@ class WanT2VPipeline:
         else:
             carve1, fns1 = carve0, fns0
 
-        schedule = unipc_schedule(opts.sampling_steps, shift=opts.shift)
-        state = unipc_init(schedule)
+        mk_sched, mk_init, do_step, to_zero, add_noise = _solver(opts.solver)
+        schedule = mk_sched(opts.sampling_steps, shift=opts.shift)
+        state = mk_init(schedule)
         n = schedule.num_steps
         switch = opts.turbo_switch_step
 
         # realized timestep sequence for the TeaCache precompute
-        sched2 = unipc_schedule(opts.sampling_steps, shift=opts.shift + 2) \
+        sched2 = mk_sched(opts.sampling_steps, shift=opts.shift + 2) \
             if opts.enable_turbo else None
         realized_t = np.array([
             (sched2.timestep(i) if (opts.enable_turbo and i > switch)
@@ -261,19 +277,23 @@ class WanT2VPipeline:
             if (opts.enable_turbo and idx >= switch and not stage_changed):
                 # turbo stage switch (`/root/reference/jenga_wan.py:218-245`)
                 stage_changed = True
-                clean = unipc_step_to_zero(schedule, idx, v, latents)
+                clean = to_zero(schedule, idx, v, latents)
                 clean = jax.image.resize(clean, (1, c, f, lh, lw),
                                          method="trilinear")
-                latents = unipc_add_noise(schedule, idx + 1, clean,
-                                          stage2_noise)
+                latents = add_noise(schedule, idx + 1, clean, stage2_noise)
                 schedule = sched2
-                state = unipc_init(schedule,
-                                   disable_corrector=tuple(range(24, 38)))
+                if opts.solver == "unipc":
+                    # UniPC-only corrector reset (reference quirk)
+                    state = mk_init(schedule)
+                    state = dataclasses.replace(
+                        state, disable_corrector=tuple(range(24, 38)))
+                else:
+                    state = mk_init(schedule)
                 state = dataclasses.replace(state, step_index=idx + 1)
                 carve, fns = carve1, fns1
                 residual = None
             else:
-                state, latents = unipc_step(schedule, state, v, latents)
+                state, latents = do_step(schedule, state, v, latents)
 
             if on_step is not None:
                 # fidelity recording hook (see pipelines.loss_eval)

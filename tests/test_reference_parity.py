@@ -591,7 +591,17 @@ def _install_scheduler_stubs():
         du.logging = _Logging()
         du.deprecate = lambda *a, **k: None
         du.is_scipy_available = lambda: True
+        du.__path__ = []    # package: allow diffusers.utils.torch_utils
         sys.modules["diffusers.utils"] = du
+        tu = types.ModuleType("diffusers.utils.torch_utils")
+
+        def randn_tensor(shape, generator=None, device=None, dtype=None):
+            return torch.randn(shape, generator=generator, device=device,
+                               dtype=dtype)
+
+        tu.randn_tensor = randn_tensor
+        du.torch_utils = tu
+        sys.modules["diffusers.utils.torch_utils"] = tu
 
 
 def _load_file_module(key, path):
@@ -1186,3 +1196,35 @@ def test_hy_full_pipeline_matches_reference_loop():
     for i, (got, want) in enumerate(zip(traj, ref_traj)):
         d = float(np.abs(got[None] - want).max())
         assert d < budget[i], f"step {i}: diff {d} over budget {budget[i]}"
+
+
+def test_dpm_scheduler_matches_reference():
+    """DPM++ multistep trajectory parity (the reference --sample_solver
+    dpm++ alternative, `/root/reference/wan/utils/fm_solvers.py`)."""
+    import jax.numpy as jnp
+    from jenga_tpu.diffusion.dpm import dpm_init, dpm_schedule, dpm_step
+
+    _install_scheduler_stubs()
+    mod = _load_file_module(
+        "ref_dpm", os.path.join(REF, "wan/utils/fm_solvers.py"))
+    n = 10
+    ref = mod.FlowDPMSolverMultistepScheduler(num_train_timesteps=1000,
+                                              solver_order=2)
+    ref.set_timesteps(n, shift=8.0)
+    ours_sched = dpm_schedule(n, shift=8.0)
+    np.testing.assert_allclose(np.asarray(ours_sched.sigmas[:-1]),
+                               ref.sigmas.numpy()[:-1], atol=1e-6)
+
+    torch.manual_seed(0)
+    x_ref = torch.randn(1, 4, 2, 8, 8)
+    x_ours = jnp.asarray(x_ref.numpy())
+    state = dpm_init(ours_sched)
+    gen = torch.Generator().manual_seed(1)
+    for i in range(n):
+        v = torch.randn(1, 4, 2, 8, 8, generator=gen)
+        x_ref = ref.step(v, ref.timesteps[i], x_ref, return_dict=False)[0]
+        state, x_ours = dpm_step(ours_sched, state,
+                                 jnp.asarray(v.numpy()), x_ours)
+        np.testing.assert_allclose(
+            np.asarray(x_ours), x_ref.numpy(), atol=2e-4, rtol=1e-3,
+            err_msg=f"diverged at step {i}")
