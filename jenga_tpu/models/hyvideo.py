@@ -314,6 +314,18 @@ def _joint_attention(q, k, v, cfg: HYVideoConfig, carve: HYCarve | None,
     # no video block left after the trailing text blocks (tiny test shapes)
     if (carve is None or carve.sa_drop_rate == 0.0
             or s_pad // 128 <= carve.txt_block_num):
+        if mesh is not None and n % mesh.shape.get("sp", 1) != 0:
+            # heads don't divide the mesh: ring attention over img tokens
+            # with replicated text KV appended per step (the reference's
+            # joint-ring semantics,
+            # `/root/reference/hyvideo/modules/xdit_ring_atten.py:333-360`)
+            from ..parallel.ring import ring_attention
+            out = ring_attention(
+                q[:, :img_len], k[:, :img_len], v[:, :img_len], mesh,
+                joint_k=k[:, img_len:], joint_v=v[:, img_len:])
+            txt_out = attention_bshd(q[:, img_len:], k, v)
+            return jnp.concatenate([out, txt_out],
+                                   axis=1).reshape(b, s, n * hd)
         return attention_bshd(q, k, v).reshape(b, s, n * hd)
 
     pad = s_pad - s

@@ -84,3 +84,36 @@ def test_wan_forward_carved_heads_not_divisible_raises():
     ctx = jnp.zeros((1, cfg.text_len, cfg.text_dim))
     with pytest.raises(ValueError, match="divisible"):
         wan_forward(params, cfg, x, t, ctx, carve=carve, mesh=mesh)
+
+
+def test_hy_forward_ring_joint_text_heads_lt_devices():
+    """HY dense forward on an 8-device mesh with 2 heads: the joint-text
+    ring path (video rows ring over tokens, replicated text KV appended)
+    matches the single-device forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jenga_tpu.models.hyvideo import (HYVideoConfig,
+                                          init_hyvideo_params,
+                                          hyvideo_forward)
+    from jenga_tpu.parallel.mesh import make_sp_mesh
+
+    mesh = make_sp_mesh()
+    cfg = HYVideoConfig(hidden_size=64, heads_num=2, double_blocks=1,
+                        single_blocks=1, text_states_dim=48,
+                        text_states_dim_2=16, rope_dim_list=(8, 12, 12),
+                        dtype="float32")
+    params = init_hyvideo_params(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (1, cfg.in_channels, 2, 8, 16))  # 128 tokens
+    t = jnp.array([400.0])
+    txt = jax.random.normal(jax.random.fold_in(key, 1),
+                            (1, 24, cfg.text_states_dim))
+    tmask = jnp.ones((1, 24), jnp.int32)
+    txt2 = jax.random.normal(jax.random.fold_in(key, 2),
+                             (1, cfg.text_states_dim_2))
+    out_mesh = hyvideo_forward(params, cfg, x, t, txt, tmask, txt2,
+                               mesh=mesh)
+    out_single = hyvideo_forward(params, cfg, x, t, txt, tmask, txt2)
+    np.testing.assert_allclose(np.asarray(out_mesh), np.asarray(out_single),
+                               atol=3e-4, rtol=3e-4)
