@@ -60,7 +60,10 @@ def _common(p: argparse.ArgumentParser):
                         "prompt before encoding (reference "
                         "--use_prompt_extend)")
     p.add_argument("--prompt-extend-mode", default="t2v",
-                   choices=["t2v", "i2v", "rewrite", "master"])
+                   choices=["t2v", "i2v", "vl", "rewrite", "master"],
+                   help="'vl' loads a llava-format dir and grounds the "
+                        "expansion in the conditioning image "
+                        "(--i2v-image-path; reference QwenVL expander)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -131,11 +134,22 @@ def _save(args, out):
 def _maybe_extend_prompt(args, prompt):
     if not args.prompt_extend_model:
         return prompt
-    from .text.prompt_extend import LocalLLMExpander, PromptExpander
-    expander = PromptExpander(
-        chat_fn=LocalLLMExpander(args.prompt_extend_model),
-        mode=args.prompt_extend_mode)
-    extended = expander(prompt)
+    from .text.prompt_extend import (LocalLLMExpander, LocalVLExpander,
+                                     PromptExpander)
+    if args.prompt_extend_mode == "vl":
+        image = getattr(args, "i2v_image_path", None) \
+            or getattr(args, "image", None)
+        if not image:
+            raise SystemExit("--prompt-extend-mode vl needs an input "
+                             "image (--i2v-image-path / --image)")
+        expander = PromptExpander(
+            chat_fn=LocalVLExpander(args.prompt_extend_model), mode="vl")
+        extended = expander(prompt, image=image)
+    else:
+        expander = PromptExpander(
+            chat_fn=LocalLLMExpander(args.prompt_extend_model),
+            mode=args.prompt_extend_mode)
+        extended = expander(prompt)
     print(f"extended prompt: {extended}")
     return extended
 
@@ -302,16 +316,16 @@ def run_hyvideo_i2v(args):
         image_latents = [np.zeros((16, 1, lat[1], lat[2]), np.float32)
                          for (lat, _) in shapes]
 
+    prompt = _maybe_extend_prompt(args, args.prompt)
     if sampler.text_encoder is not None:
         lparams = sampler.text_encoder[2]
         if image is not None and "llm" in lparams:
             # full llava path: the prompt encoding sees the image
             txt, mask, txt2 = sampler.encode_prompt_i2v(
-                args.prompt, image, mode="video",
+                prompt, image, mode="video",
                 i2v_condition_type=args.i2v_condition_type)
         else:
-            txt, mask, txt2 = sampler.encode_prompt(args.prompt,
-                                                    mode="image")
+            txt, mask, txt2 = sampler.encode_prompt(prompt, mode="image")
     else:
         txt, mask, txt2 = _zero_hy_text(sampler.cfg)
     t0 = time.time()
@@ -412,7 +426,9 @@ def run_wan_i2v(args):
     t0 = time.time()
     if args.image and sampler.t5 is not None:
         from .runtime import load_image
-        out = sampler.generate_image(load_image(args.image), args.prompt,
+        out = sampler.generate_image(load_image(args.image),
+                                     _maybe_extend_prompt(args,
+                                                          args.prompt),
                                      opts,
                                      negative_prompt=args.neg_prompt or "",
                                      decode=not args.latents_only)

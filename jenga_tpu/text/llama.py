@@ -190,12 +190,17 @@ def _attn_with_cache(q, k_cache, v_cache, n, nkv, valid_len):
 
 
 def llama_prefill(params, cfg: LlamaConfig, token_ids, attention_mask,
-                  max_len: int):
+                  max_len: int, inputs_embeds=None):
     """Run the prompt through the LM, filling a KV cache of ``max_len``.
 
     Returns (logits_last [B, vocab], cache, lengths [B]). Assumes
-    right-padded prompts (positions = arange)."""
-    b, s = token_ids.shape
+    right-padded prompts (positions = arange). ``inputs_embeds`` bypasses
+    the embedding lookup (multimodal prompts with spliced image
+    embeddings; ``token_ids`` may then be None)."""
+    if inputs_embeds is not None:
+        b, s = inputs_embeds.shape[:2]
+    else:
+        b, s = token_ids.shape
     n, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     cos_full, sin_full = L.rope_table_1d(np.arange(max_len), hd,
                                          theta=cfg.rope_theta)
@@ -203,7 +208,8 @@ def llama_prefill(params, cfg: LlamaConfig, token_ids, attention_mask,
     sin = jnp.asarray(sin_full[:s])
     lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=-1)
 
-    h = params["embed"][token_ids]
+    h = (inputs_embeds if inputs_embeds is not None
+         else params["embed"][token_ids])
     causal = jnp.tril(jnp.ones((s, s), bool))
     key_ok = attention_mask.astype(bool)[:, None, :]
     bias = jnp.where(causal[None] & key_ok, 0.0, -1e30)
@@ -287,14 +293,19 @@ def _rope_pointwise(x, cos, sin):
 
 def llama_generate(params, cfg: LlamaConfig, token_ids, attention_mask,
                    max_new_tokens: int = 128, eos_token_id=None,
-                   temperature: float = 0.0, key=None):
+                   temperature: float = 0.0, key=None, inputs_embeds=None):
     """Greedy (or sampled) decoding with a KV cache.
 
     ``token_ids`` [B, S] right-padded prompts. Returns a list of generated
     token-id lists (without the prompt), each stopped at ``eos_token_id``.
+    ``inputs_embeds`` replaces the prompt embedding lookup (multimodal
+    prompts with spliced image features; ``token_ids`` may then be None).
     """
     import functools
-    b, s = token_ids.shape
+    if inputs_embeds is not None:
+        b, s = inputs_embeds.shape[:2]
+    else:
+        b, s = token_ids.shape
     max_len = s + max_new_tokens
     cos, sin = L.rope_table_1d(np.arange(max_len), cfg.head_dim,
                                theta=cfg.rope_theta)
@@ -305,7 +316,8 @@ def llama_generate(params, cfg: LlamaConfig, token_ids, attention_mask,
     step = jax.jit(functools.partial(llama_decode_step, cfg=cfg))
 
     logits, cache, lengths = prefill(params, token_ids=token_ids,
-                                     attention_mask=attention_mask)
+                                     attention_mask=attention_mask,
+                                     inputs_embeds=inputs_embeds)
     out = [[] for _ in range(b)]
     done = [False] * b
     pos = lengths  # next write position per sample

@@ -25,7 +25,7 @@ from .llama import llama_hidden_states
 
 __all__ = ["PROMPT_TEMPLATE_I2V_IMAGE", "PROMPT_TEMPLATE_I2V_VIDEO",
            "NEGATIVE_PROMPT_I2V", "I2V_TEMPLATE_INFO", "llava_encode",
-           "extract_i2v_tokens"]
+           "llava_splice", "extract_i2v_tokens"]
 
 # reference templates (`/root/reference/hyvideo_i2v/constants.py:54-73`)
 PROMPT_TEMPLATE_I2V_IMAGE = (
@@ -63,16 +63,12 @@ I2V_TEMPLATE_INFO = {
 }
 
 
-def llava_encode(params, llm_cfg, token_ids, attention_mask, pixel_values,
-                 image_token_pos: int, num_layers: int | None = None,
-                 vision_cfg=CLIP_L_VISION_336):
-    """Full llava forward.
-
-    ``params``: {"vision": ..., "projector": {"fc1", "fc2"}, "llm": ...};
-    ``pixel_values`` [B, 3, 336, 336] normalized; the single ``<image>``
-    token at ``image_token_pos`` expands into the projected patch
+def llava_splice(params, token_ids, attention_mask, pixel_values,
+                 image_token_pos: int, vision_cfg=CLIP_L_VISION_336):
+    """Vision tower + projector + static splice: returns the multimodal
+    ``(inputs_embeds, attention_mask)`` pair where the single ``<image>``
+    token at ``image_token_pos`` is expanded into the projected patch
     embeddings (HF llava semantics, vision_feature_layer=-2, CLS dropped).
-    Returns the llama hidden-states list over the spliced sequence.
     """
     feats = clip_vision_encode(params["vision"], vision_cfg, pixel_values,
                                feature_layer=-2)[:, 1:]   # drop CLS
@@ -90,6 +86,20 @@ def llava_encode(params, llm_cfg, token_ids, attention_mask, pixel_values,
         [attention_mask[:, :p],
          jnp.ones((b, n_img), attention_mask.dtype),
          attention_mask[:, p + 1:]], axis=1)
+    return spliced, mask
+
+
+def llava_encode(params, llm_cfg, token_ids, attention_mask, pixel_values,
+                 image_token_pos: int, num_layers: int | None = None,
+                 vision_cfg=CLIP_L_VISION_336):
+    """Full llava forward.
+
+    ``params``: {"vision": ..., "projector": {"fc1", "fc2"}, "llm": ...};
+    ``pixel_values`` [B, 3, 336, 336] normalized.
+    Returns the llama hidden-states list over the spliced sequence.
+    """
+    spliced, mask = llava_splice(params, token_ids, attention_mask,
+                                 pixel_values, image_token_pos, vision_cfg)
     states = llama_hidden_states(params["llm"], llm_cfg, None, mask,
                                  num_layers=num_layers,
                                  inputs_embeds=spliced)

@@ -14,8 +14,9 @@ from __future__ import annotations
 import dataclasses
 
 __all__ = ["T2V_EXTEND_SYSTEM_PROMPT", "I2V_EXTEND_SYSTEM_PROMPT",
+           "VL_EXTEND_SYSTEM_PROMPT",
            "REWRITE_NORMAL_SYSTEM_PROMPT", "REWRITE_MASTER_SYSTEM_PROMPT",
-           "PromptExpander", "LocalLLMExpander"]
+           "PromptExpander", "LocalLLMExpander", "LocalVLExpander"]
 
 T2V_EXTEND_SYSTEM_PROMPT = (
     "You are a prompt engineer for a text-to-video model. Expand the "
@@ -35,6 +36,16 @@ I2V_EXTEND_SYSTEM_PROMPT = (
     "strictly consistent with the visible content of the image. Answer "
     "with the expanded prompt only.")
 
+VL_EXTEND_SYSTEM_PROMPT = (
+    "You are a prompt engineer for an image-to-video model and you can "
+    "see the user's conditioning image. Rewrite the user's short "
+    "instruction into one detailed English paragraph that is grounded in "
+    "the actual image content: name the visible subjects and their "
+    "colors, shapes, textures and positions, then describe how they move "
+    "and how the camera moves over the course of the clip, plus lighting "
+    "and atmosphere. Never contradict the image, keep every element of "
+    "the user's instruction, and answer with the expanded prompt only.")
+
 REWRITE_NORMAL_SYSTEM_PROMPT = (
     "Rewrite the user's video prompt so it is concrete and unambiguous: "
     "resolve pronouns, name the subjects explicitly, state spatial "
@@ -53,18 +64,24 @@ class PromptExpander:
     """Expand/rewrite prompts through a pluggable chat function."""
 
     chat_fn: object                   # callable(system, user) -> str
-    mode: str = "t2v"                 # t2v | i2v | rewrite | master
+    mode: str = "t2v"                 # t2v | i2v | vl | rewrite | master
 
-    def __call__(self, prompt: str, image_description: str = "") -> str:
+    def __call__(self, prompt: str, image_description: str = "",
+                 image=None) -> str:
         system = {
             "t2v": T2V_EXTEND_SYSTEM_PROMPT,
             "i2v": I2V_EXTEND_SYSTEM_PROMPT,
+            "vl": VL_EXTEND_SYSTEM_PROMPT,
             "rewrite": REWRITE_NORMAL_SYSTEM_PROMPT,
             "master": REWRITE_MASTER_SYSTEM_PROMPT,
         }[self.mode]
         user = prompt if not image_description else (
             f"Image: {image_description}\nInstruction: {prompt}")
-        out = self.chat_fn(system, user)
+        if image is not None:
+            # vision-language chat_fn (e.g. LocalVLExpander) sees the image
+            out = self.chat_fn(system, user, image=image)
+        else:
+            out = self.chat_fn(system, user)
         return out.strip() or prompt
 
 
@@ -135,4 +152,117 @@ class LocalLLMExpander:
             eos_token_id=self.tok.eos_token_id,
             temperature=self.temperature,
             key=jax.random.PRNGKey(0) if self.temperature > 0 else None)
+        return self.tok.decode(out[0], skip_special_tokens=True)
+
+
+class LocalVLExpander:
+    """Image-conditioned prompt expander (reference ``QwenPromptExpander``
+    with ``is_vl=True``, `/root/reference/wan/utils/prompt_extend.py:288-
+    352,437-520`): loads any llava-format HF checkpoint dir (vision tower
+    + projector + llama) and expands the prompt while *seeing* the I2V
+    conditioning image — multimodal prefill via spliced image embeddings,
+    then KV-cache decoding, all on-device."""
+
+    def __init__(self, model_dir: str, max_new_tokens: int = 256,
+                 temperature: float = 0.0, dtype: str = "bfloat16"):
+        import json
+        import os
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..convert import load_safetensors_state_dict, \
+            load_torch_state_dict
+        from ..convert.encoders import convert_llava
+        from .clip import CLIP_L_VISION_336, CLIPVisionConfig
+        from .llama import LlamaConfig
+
+        with open(os.path.join(model_dir, "config.json")) as f:
+            hf = json.load(f)
+        self.image_token_id = hf.get("image_token_index", None)
+        txt = hf.get("text_config", hf)
+        self.cfg = LlamaConfig(
+            vocab_size=txt["vocab_size"],
+            hidden_size=txt["hidden_size"],
+            intermediate_size=txt["intermediate_size"],
+            num_layers=txt["num_hidden_layers"],
+            num_heads=txt["num_attention_heads"],
+            num_kv_heads=txt.get("num_key_value_heads",
+                                 txt["num_attention_heads"]),
+            rope_theta=txt.get("rope_theta", 10000.0),
+            rms_eps=txt.get("rms_norm_eps", 1e-6),
+            dtype=dtype)
+        vis = hf.get("vision_config")
+        self.vision_cfg = CLIPVisionConfig(
+            image_size=vis.get("image_size", 336),
+            patch_size=vis.get("patch_size", 14),
+            hidden_size=vis.get("hidden_size", 1024),
+            intermediate_size=vis.get("intermediate_size", 4096),
+            num_layers=vis.get("num_hidden_layers", 24),
+            num_heads=vis.get("num_attention_heads", 16),
+            act=vis.get("hidden_act", "quick_gelu"),
+        ) if vis else CLIP_L_VISION_336
+        try:
+            sd = load_safetensors_state_dict(model_dir)
+        except FileNotFoundError:
+            sd = load_torch_state_dict(
+                os.path.join(model_dir, "pytorch_model.bin"))
+        self.params = jax.tree.map(
+            jnp.asarray, convert_llava(sd, self.cfg, self.vision_cfg))
+        from transformers import AutoTokenizer
+        self.tok = AutoTokenizer.from_pretrained(model_dir)
+        if self.image_token_id is None:
+            self.image_token_id = self.tok.convert_tokens_to_ids("<image>")
+        self.max_new_tokens = max_new_tokens
+        self.temperature = temperature
+
+    def _pixel_values(self, image):
+        """Image path / [3,H,W] array -> normalized [1,3,336,336]."""
+        import numpy as np
+
+        from ..runtime import CLIP_MEAN, CLIP_STD, _resize_chw, load_image
+        if isinstance(image, str):
+            image = load_image(image)
+        s = self.vision_cfg.image_size
+        x = np.asarray(_resize_chw(np.asarray(image, np.float32), s, s))
+        x = (x - CLIP_MEAN[:, None, None]) / CLIP_STD[:, None, None]
+        return x[None]
+
+    def __call__(self, system: str, user: str, image=None) -> str:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .llama import llama_generate
+        from .llava import llava_splice
+
+        if image is None:
+            raise ValueError("LocalVLExpander requires an image; use "
+                             "LocalLLMExpander for text-only expansion")
+        messages = [{"role": "system", "content": system},
+                    {"role": "user", "content": f"<image>\n{user}"}]
+        try:
+            text = self.tok.apply_chat_template(
+                messages, tokenize=False, add_generation_prompt=True)
+        except Exception:
+            text = f"{system}\n\n<image>\n{user}\n"
+        enc = self.tok(text, return_tensors="np")
+        ids = enc["input_ids"]
+        mask = enc.get("attention_mask", np.ones_like(ids))
+        pos = np.nonzero(ids[0] == self.image_token_id)[0]
+        if pos.size != 1:
+            raise ValueError(
+                f"prompt must contain exactly one <image> token "
+                f"(id {self.image_token_id}), found {pos.size}")
+        embeds, full_mask = llava_splice(
+            self.params, jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(self._pixel_values(image)), int(pos[0]),
+            vision_cfg=self.vision_cfg)
+        out = llama_generate(
+            self.params["llm"], self.cfg, None, full_mask,
+            max_new_tokens=self.max_new_tokens,
+            eos_token_id=self.tok.eos_token_id,
+            temperature=self.temperature,
+            key=jax.random.PRNGKey(0) if self.temperature > 0 else None,
+            inputs_embeds=embeds)
         return self.tok.decode(out[0], skip_special_tokens=True)

@@ -91,3 +91,93 @@ def test_extract_video_mode_crop():
                               image_embed_interleave=2)
     n_img = len(range(5, 581, 2))
     assert h.shape[1] == n_img + (L - (103 - 1 + 576))
+
+
+def test_llava_greedy_generate_matches_hf():
+    """Multimodal prefill (spliced image embeds) + KV-cache greedy decode
+    vs HF ``LlavaForConditionalGeneration.generate`` — the LocalVLExpander
+    compute path (`/root/reference/wan/utils/prompt_extend.py:437-520`
+    is the torch QwenVL counterpart)."""
+    from jenga_tpu.text.llava import llava_splice
+
+    model = _tiny_hf_llava()
+    n_patches = 4
+    pos = 3
+    torch.manual_seed(2)
+    pixels = torch.randn(1, 3, 28, 28)
+    base_ids = torch.randint(0, 62, (1, 9))
+    hf_ids = torch.cat([base_ids[:, :pos],
+                        torch.full((1, n_patches), 63),
+                        base_ids[:, pos + 1:]], dim=1)
+    with torch.no_grad():
+        ref = model.generate(input_ids=hf_ids,
+                             attention_mask=torch.ones_like(hf_ids),
+                             pixel_values=pixels, max_new_tokens=8,
+                             do_sample=False)
+    ref_new = ref[0, hf_ids.shape[1]:].tolist()
+
+    llm_cfg = llama_lib.LlamaConfig(
+        vocab_size=64, hidden_size=48, intermediate_size=96, num_layers=2,
+        num_heads=4, num_kv_heads=2, rope_theta=500000.0, dtype="float32")
+    vis_cfg = CLIPVisionConfig(image_size=28, patch_size=14, hidden_size=32,
+                               intermediate_size=64, num_layers=3,
+                               num_heads=4, act="quick_gelu")
+    params = jax.tree.map(jnp.asarray,
+                          convert_llava(model.state_dict(), llm_cfg,
+                                        vis_cfg))
+    embeds, mask = llava_splice(
+        params, jnp.asarray(base_ids.numpy()), jnp.ones((1, 9), jnp.int32),
+        jnp.asarray(pixels.numpy()), image_token_pos=pos,
+        vision_cfg=vis_cfg)
+    ours = llama_lib.llama_generate(params["llm"], llm_cfg, None, mask,
+                                    max_new_tokens=8,
+                                    inputs_embeds=embeds)[0]
+    assert ours == ref_new
+
+
+def test_local_vl_expander_end_to_end(tmp_path):
+    """LocalVLExpander: llava dir on disk -> image-grounded expansion
+    (multimodal prefill + decode). Checks dir loading (config-driven
+    vision cfg), <image> token splice, and that the image actually
+    conditions the output."""
+    import json
+
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from jenga_tpu.text.prompt_extend import LocalVLExpander, PromptExpander
+
+    model = _tiny_hf_llava()
+    model.save_pretrained(str(tmp_path))
+    vocab = {f"w{i}": i for i in range(62)}
+    vocab["<pad>"] = 62
+    vocab["<image>"] = 63
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<pad>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.add_special_tokens(["<image>"])
+    tok.save(str(tmp_path / "tokenizer.json"))
+    (tmp_path / "tokenizer_config.json").write_text(json.dumps(
+        {"tokenizer_class": "PreTrainedTokenizerFast",
+         "pad_token": "<pad>", "unk_token": "<pad>", "eos_token": "<pad>",
+         "model_max_length": 512}))
+
+    exp = LocalVLExpander(str(tmp_path), max_new_tokens=4)
+    assert exp.vision_cfg.image_size == 28    # from config.json, not 336
+    rng = np.random.default_rng(0)
+    img_a = rng.random((3, 16, 16), np.float32)
+    out = PromptExpander(chat_fn=exp, mode="vl")("w1 w2 w3", image=img_a)
+    assert isinstance(out, str) and len(out) > 0
+
+    # a different image must change the multimodal prefill embeddings
+    from jenga_tpu.text.llava import llava_splice
+    ids = jnp.asarray([[1, 63, 2]])
+    m = jnp.ones((1, 3), jnp.int32)
+    ea, _ = llava_splice(exp.params, ids, m,
+                         jnp.asarray(exp._pixel_values(img_a)), 1,
+                         vision_cfg=exp.vision_cfg)
+    img_b = rng.random((3, 16, 16), np.float32) * 10 - 5
+    eb, _ = llava_splice(exp.params, ids, m,
+                         jnp.asarray(exp._pixel_values(img_b)), 1,
+                         vision_cfg=exp.vision_cfg)
+    assert float(jnp.max(jnp.abs(ea - eb))) > 1e-4
+
+    with pytest.raises(ValueError):
+        exp("sys", "w1 w2 w3")   # image required
