@@ -50,12 +50,13 @@ def _kernel(
     v_hbm,          # ANY  (bh, skv, d)
     lists_hbm,      # ANY  (bh*nqb*row,) int32 packed [count, ids...] rows
     o_ref,          # VMEM (1, block_m, d)
-    idx_smem,       # SMEM (row,) int32
-    k_buf,          # VMEM (2, group*block_n, d) kv dtype
-    v_buf,          # VMEM (2, group*block_n, d)
-    list_sem,       # DMA sem
-    k_sems,         # DMA sems (2, group)
-    v_sems,         # DMA sems (2, group)
+    idx_smem,       # SMEM (2*row,) int32 — double-buffered across rows
+                    #   (flat: Mosaic can't sublane-slice a (2, row) SMEM)
+    k_buf,          # VMEM (3, group*block_n, d) kv dtype
+    v_buf,          # VMEM (3, group*block_n, d)
+    list_sems,      # DMA sems (2,)
+    k_sems,         # DMA sems (3, group)
+    v_sems,         # DMA sems (3, group)
     *,
     sm_scale: float,
     text_amp: float,
@@ -70,54 +71,76 @@ def _kernel(
     issued back-to-back into one contiguous VMEM buffer and consumed by a
     single (block_m, group*block_n) matmul — amortizing DMA/loop latency
     and feeding the MXU wide tiles (one-block-at-a-time was measured
-    latency-bound at <10% of peak). Groups are double-buffered."""
+    latency-bound at <10% of peak). Groups are double-buffered (VMEM slots
+    0/1).
+
+    The pipeline also runs *across grid rows*: during row i's compute, the
+    kernel prefetches row i+1's packed index list (SMEM slot ``1 - parity``)
+    and, as soon as that list lands, row i+1's group 0 into the dedicated
+    VMEM slot 2. Without this, every row paid the serial latency of its
+    list DMA plus its first KV DMA before any compute could start — ~1/3 of
+    kernel time at production density (measured v5e)."""
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     nqb = pl.num_programs(1)
+    total = pl.num_programs(0) * nqb
     d = q_ref.shape[-1]
     gn = group * block_n
+    step = bh * nqb + qi
+    parity = jax.lax.rem(step, 2)
 
-    # Fetch this row's packed block list (slot 0 = count, slot 1 = valid
-    # KV length for this sample, slots 2.. = ids); the row stride is
-    # 1024-aligned (the 1-D int32 HBM tile) for the DMA.
-    row_start = (bh * nqb + qi) * row_size
-    idx_dma = pltpu.make_async_copy(
-        lists_hbm.at[pl.ds(row_start, row_size)], idx_smem, list_sem)
-    idx_dma.start()
-    idx_dma.wait()
-    n = idx_smem[0]
-    seqlen = idx_smem[1]
-    n_groups = (n + group - 1) // group
+    def idx_dma(row_step, slot):
+        # Rows are 1024-aligned (the 1-D int32 HBM tile) for the DMA; slot 0
+        # holds the count, slot 1 the valid KV length, slots 2.. block ids.
+        return pltpu.make_async_copy(
+            lists_hbm.at[pl.ds(row_step * row_size, row_size)],
+            idx_smem.at[pl.ds(slot * row_size, row_size)],
+            list_sems.at[slot])
 
-    def blk_of(j, g):
+    def blk_of(islot, j, g):
         # overhang entries re-read the first listed block; masked below
+        base = islot * row_size
+        n_ = idx_smem[base]
         pos = j * group + g
-        return idx_smem[2 + jnp.where(pos < n, pos, 0)]
+        return idx_smem[base + 2 + jnp.where(pos < n_, pos, 0)]
 
-    def group_copies(hbm, buf, sems, j, slot):
+    def group_copies(hbm, buf, sems, islot, bh_, j, slot):
         return [
             pltpu.make_async_copy(
-                hbm.at[bh, pl.ds(blk_of(j, g) * block_n, block_n)],
+                hbm.at[bh_, pl.ds(blk_of(islot, j, g) * block_n, block_n)],
                 buf.at[slot, pl.ds(g * block_n, block_n)],
                 sems.at[slot, g])
             for g in range(group)
         ]
 
-    def start_group(j, slot):
-        for c in group_copies(k_hbm, k_buf, k_sems, j, slot):
+    def start_group(islot, bh_, j, slot):
+        for c in group_copies(k_hbm, k_buf, k_sems, islot, bh_, j, slot):
             c.start()
-        for c in group_copies(v_hbm, v_buf, v_sems, j, slot):
+        for c in group_copies(v_hbm, v_buf, v_sems, islot, bh_, j, slot):
             c.start()
 
-    def wait_group(j, slot):
-        for c in group_copies(k_hbm, k_buf, k_sems, j, slot):
+    def wait_group(islot, bh_, j, slot):
+        for c in group_copies(k_hbm, k_buf, k_sems, islot, bh_, j, slot):
             c.wait()
-        for c in group_copies(v_hbm, v_buf, v_sems, j, slot):
+        for c in group_copies(v_hbm, v_buf, v_sems, islot, bh_, j, slot):
             c.wait()
 
-    @pl.when(n_groups > 0)
+    @pl.when(step == 0)
     def _():
-        start_group(0, 0)
+        # Bootstrap: the first row fetches its own list and group 0 (into
+        # the cross-row slot 2, where every row's group 0 lives).
+        idx_dma(0, 0).start()
+        idx_dma(0, 0).wait()
+        start_group(0, bh, 0, 2)
+
+    n = idx_smem[parity * row_size]
+    seqlen = idx_smem[parity * row_size + 1]
+    n_groups = (n + group - 1) // group
+
+    # Prefetch the next row's index list while this row computes.
+    @pl.when(step + 1 < total)
+    def _():
+        idx_dma(step + 1, 1 - parity).start()
 
     q = q_ref[0].astype(jnp.float32) * (sm_scale * _LOG2E)
     q = q.astype(k_buf.dtype)
@@ -127,18 +150,16 @@ def _kernel(
     l0 = jnp.zeros((block_m, 128), jnp.float32)
     acc0 = jnp.zeros((block_m, d), jnp.float32)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (block_m, gn), 1)
+    # All selection masks depend only on the key column, never the query
+    # row: build them as (1, gn) row vectors and let the elementwise ops
+    # broadcast — materializing (block_m, gn) selects per group was ~16x
+    # more VPU work.
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, gn), 1)
     lane = jax.lax.rem(col, block_n)
 
-    def body(j, carry):
+    def compute_group(j, slot, carry):
         m_prev, l_prev, acc = carry
-        slot = jax.lax.rem(j, 2)
-
-        @pl.when(j + 1 < n_groups)
-        def _():
-            start_group(j + 1, 1 - slot)
-
-        wait_group(j, slot)
+        wait_group(parity, bh, j, slot)
 
         kb = k_buf[slot]
         qk = jax.lax.dot_general(
@@ -146,9 +167,9 @@ def _kernel(
             preferred_element_type=jnp.float32)  # (block_m, group*block_n)
 
         # per-column block id / validity, built from the scalar block list
-        blk_ids = [blk_of(j, g) for g in range(group)]
+        blk_ids = [blk_of(parity, j, g) for g in range(group)]
         seg = col // block_n
-        blk_col = jnp.zeros((block_m, gn), jnp.int32)
+        blk_col = jnp.zeros((1, gn), jnp.int32)
         for g in range(group):
             blk_col = jnp.where(seg == g, blk_ids[g], blk_col)
         valid = (j * group + seg) < n
@@ -173,7 +194,31 @@ def _kernel(
             preferred_element_type=jnp.float32)
         return m_next, l_next, acc
 
-    m, l, acc = jax.lax.fori_loop(0, n_groups, body, (m0, l0, acc0))
+    # Group 0 (prefetched into slot 2 by the previous row / bootstrap).
+    @pl.when(n_groups > 1)
+    def _():
+        start_group(parity, bh, 1, 1)
+    carry = compute_group(0, 2, (m0, l0, acc0))
+
+    # With our group 0 consumed and the next row's list in SMEM, issue the
+    # next row's group 0 into slot 2 — it rides behind this row's remaining
+    # group DMAs and is ready when the next grid step starts.
+    @pl.when(step + 1 < total)
+    def _():
+        idx_dma(step + 1, 1 - parity).wait()
+        next_bh = (step + 1) // nqb
+        start_group(1 - parity, next_bh, 0, 2)
+
+    def body(j, carry):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_groups)
+        def _():
+            start_group(parity, bh, j + 1, 1 - slot)
+
+        return compute_group(j, slot, carry)
+
+    m, l, acc = jax.lax.fori_loop(1, n_groups, body, carry)
     l_safe = jnp.where(l[:, :1] == 0.0, 1.0, l[:, :1])
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
 
@@ -267,15 +312,17 @@ def block_sparse_attention(
         out_specs=pl.BlockSpec((1, block_m, d), lambda bi, qi: (bi, qi, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.SMEM((row_size,), jnp.int32),
-            pltpu.VMEM((2, group * block_n, d), k.dtype),
-            pltpu.VMEM((2, group * block_n, d), v.dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2, group)),
-            pltpu.SemaphoreType.DMA((2, group)),
+            pltpu.SMEM((2 * row_size,), jnp.int32),
+            pltpu.VMEM((3, group * block_n, d), k.dtype),
+            pltpu.VMEM((3, group * block_n, d), v.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3, group)),
+            pltpu.SemaphoreType.DMA((3, group)),
         ],
+        # both dims "arbitrary": the cross-row prefetch pipeline (SMEM/VMEM
+        # scratch carried between grid steps) requires sequential order.
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(qf, kf, vf, lists_flat)

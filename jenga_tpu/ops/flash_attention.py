@@ -71,6 +71,17 @@ def dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         skv = k.shape[2]
         sq_p = -(-sq // 128) * 128
         skv_p = -(-skv // 128) * 128
+        # The stock kernel's default tile sizes are tuned for LLM shapes;
+        # for the DiT cross-attention shape (32k queries over a few hundred
+        # text keys) they leave a 3.5x win on the table (measured v5e:
+        # skv=512 13.8ms -> 3.9ms with bq=2048, bk=skv). Long-KV dense
+        # self-attention keeps the stock defaults (larger tiles measured
+        # into scoped-VMEM OOM at 32k x 32k).
+        flash_kw = {}
+        if skv_p <= 2048:
+            flash_kw["block_sizes"] = BlockSizes(
+                block_q=min(2048, sq_p), block_k_major=skv_p,
+                block_k=skv_p, block_b=1)
         if sq_p != sq or skv_p != skv:
             qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
             kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
@@ -80,9 +91,10 @@ def dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             seg = SegmentIds(q=jnp.broadcast_to(seg_q, (b, sq_p)),
                              kv=jnp.broadcast_to(seg_kv, (b, skv_p)))
             out = pl_flash(qp, kp, vp, segment_ids=seg, causal=False,
-                           sm_scale=sm_scale)
+                           sm_scale=sm_scale, **flash_kw)
             return out[:, :, :sq]
-        return pl_flash(q, k, v, causal=False, sm_scale=sm_scale)
+        return pl_flash(q, k, v, causal=False, sm_scale=sm_scale,
+                        **flash_kw)
     if causal:
         logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
                             k.astype(jnp.float32)) * sm_scale
