@@ -71,17 +71,31 @@ def dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         skv = k.shape[2]
         sq_p = -(-sq // 128) * 128
         skv_p = -(-skv // 128) * 128
-        # The stock kernel's default tile sizes are tuned for LLM shapes;
-        # for the DiT cross-attention shape (32k queries over a few hundred
-        # text keys) they leave a 3.5x win on the table (measured v5e:
-        # skv=512 13.8ms -> 3.9ms with bq=2048, bk=skv). Long-KV dense
-        # self-attention keeps the stock defaults (larger tiles measured
-        # into scoped-VMEM OOM at 32k x 32k).
-        flash_kw = {}
+        # The stock kernel's default tile sizes are badly off for DiT
+        # shapes (measured v5e, 32k tokens: dense self-attention 800ms ->
+        # 126ms with 1024-tiles, 16.5 -> 105 TFLOP/s; cross-attention over
+        # 512 text keys 13.8ms -> 3.9ms with bq=2048, bk=skv).
+        def pick_tile(size_p, want):
+            # tiles must divide the padded length: pad up to the tile grid
+            # (masked via SegmentIds) when the waste is <1/16 — e.g. HY-720p
+            # kv 115456 -> 115712 for the 1024 tile — else shrink to the
+            # largest 128-multiple divisor.
+            t = min(want, size_p)
+            padded = -(-size_p // t) * t
+            if padded - size_p <= size_p // 16:
+                return t, padded
+            while size_p % t:
+                t -= 128
+            return t, size_p
+
         if skv_p <= 2048:
-            flash_kw["block_sizes"] = BlockSizes(
-                block_q=min(2048, sq_p), block_k_major=skv_p,
-                block_k=skv_p, block_b=1)
+            bq, sq_p = pick_tile(sq_p, 2048)
+            bk, skv_p = skv_p, skv_p
+        else:
+            bq, sq_p = pick_tile(sq_p, 1024)
+            bk, skv_p = pick_tile(skv_p, 1024)
+        flash_kw = {"block_sizes": BlockSizes(
+            block_q=bq, block_k_major=bk, block_k=bk, block_b=1)}
         if sq_p != sq or skv_p != skv:
             qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
             kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))

@@ -1,0 +1,167 @@
+"""Secondary benchmark: Wan2.1-1.3B DiT denoise time, carved vs dense, on real TPU.
+
+Run from the repo root: python tools/bench_wan.py  (the driver-facing
+primary benchmark is bench.py = the HunyuanVideo 720p north-star config).
+
+Mirrors the reference's headline measurement protocol (DiT-only wall time
+per clip after warmup, `/root/reference/README.md:207-210`): Wan2.1-1.3B
+T2V at 832x480x81f (~32k tokens), 50 denoise steps (one call covers both
+CFG branches as a batch of 2). Reference numbers on 1xH800: dense 111
+s/clip, Jenga-Base 26 s/clip (4.26x).
+
+Weights are random (no checkpoints in this image), which makes pooled-QK
+attention near-uniform; production checkpoints have peaked attention and
+select near the top-k floor, so the bench pins p_remain to reproduce that
+selection fraction (~29% of blocks incl. adjacency).
+
+Before timing, the block-sparse Pallas kernel is numerics-checked on the
+chip against the dense jnp reference at a production shape; the max error
+is reported as ``kernel_max_err`` in the JSON line.
+
+Prints ONE JSON line:
+  value        = carved DiT seconds/clip (TeaCache-skipped steps costed at
+                 the measured skip-path time, reference Base schedule
+                 ~50%% compute)
+  vs_baseline  = our_carving_speedup / reference_speedup(4.26)
+                 (>1 = better relative carving gain than the reference)
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+QUICK = bool(int(os.environ.get("BENCH_QUICK", "0")))
+REF_JENGA_BASE_SPEEDUP = 4.26   # /root/reference/README.md:207-210
+STEPS = 50
+COMPUTE_FRAC = 0.5              # TeaCache Base: ~half the steps computed
+
+
+def kernel_numerics_check():
+    """Run the Pallas block-sparse kernel on the chip against the dense
+    masked reference at one production-like shape (head_dim 128); returns
+    the max abs error. Catches Mosaic compile / numerics regressions before
+    any timing happens."""
+    from jenga_tpu.ops.attention_ref import block_sparse_attention_reference
+    from jenga_tpu.ops.block_sparse_attention import block_sparse_attention
+    from jenga_tpu.sparse.planner import mask_to_block_lists, \
+        pack_block_lists
+
+    key = jax.random.PRNGKey(7)
+    b, h, s, d = 1, 2, 2048, 128
+    nb = s // 128
+    kq, kk, kv, km = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (b, h, s, d), jnp.float32)
+    k = jax.random.normal(kk, (b, h, s, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, s, d), jnp.float32)
+    mask = jax.random.uniform(km, (b, h, nb, nb)) < 0.4
+    mask = mask.at[:, :, jnp.arange(nb), jnp.arange(nb)].set(True)
+    lists = pack_block_lists(*mask_to_block_lists(mask))
+    out = block_sparse_attention(q, k, v, lists)
+    ref = block_sparse_attention_reference(q, k, v, mask)
+    return float(jnp.max(jnp.abs(out - ref))), out.dtype
+
+
+def main():
+    from jenga_tpu.curves.blocks import build_curve_plan
+    from jenga_tpu.models.wan import (
+        WAN_T2V_1_3B, init_wan_params, make_wan_carve, wan_embed, wan_head,
+        wan_trunk, wan_forward)
+
+    cfg = WAN_T2V_1_3B
+    if QUICK:
+        cfg = dataclasses.replace(cfg, num_layers=4)
+
+    kerr = -1.0
+    if jax.default_backend() != "cpu":
+        kerr, _ = kernel_numerics_check()
+        assert kerr < 5e-2, f"kernel numerics check failed: {kerr}"
+
+    # 832x480x81f -> latents (16, 21, 60, 104) -> token grid (21, 30, 52)
+    lat_f, lat_h, lat_w = 21, 60, 104
+    grid = (lat_f, lat_h // 2, lat_w // 2)
+
+    params = init_wan_params(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(1)
+    x2 = jax.random.normal(key, (2, cfg.in_dim, lat_f, lat_h, lat_w),
+                           jnp.float32)
+    t2 = jnp.full((2,), 600.0, jnp.float32)
+    ctx2 = jax.random.normal(jax.random.fold_in(key, 1),
+                             (2, cfg.text_len, cfg.text_dim), jnp.float32)
+
+    plan = build_curve_plan(grid, "sliced", 128)
+    carve = make_wan_carve(cfg, plan, sa_drop_rate=0.75, p_remain=0.15)
+    dense_carve = dataclasses.replace(carve, sa_drop_rate=0.0)
+
+    # params passed explicitly: closing over the 1.3B tree would capture
+    # ~2.9GB of compile-time constants and blow up lowering.
+    @jax.jit
+    def carved(params, x2):
+        return wan_forward(params, cfg, x2, t2, ctx2, carve=carve)
+
+    @jax.jit
+    def dense(params, x2):
+        return wan_forward(params, cfg, x2, t2, ctx2, carve=dense_carve)
+
+    @jax.jit
+    def skip_path(params, x2, residual):
+        h0, aux = wan_embed(params, cfg, x2, t2, ctx2, carve)
+        return wan_head(params, cfg, h0 + residual, aux, carve)
+
+    def sync(out):
+        # On the remote-relay backend block_until_ready can return before
+        # execution finishes; materializing a scalar is the reliable sync.
+        lead = out[0] if isinstance(out, tuple) else out
+        return float(jnp.sum(lead))
+
+    def timeit(fn, iters, *extra):
+        # min over per-iter-synced calls: the chip is time-shared behind
+        # the relay and throughput drifts 2-3x between windows; the min is
+        # the robust per-call estimate (applied identically to both arms).
+        out = fn(params, x2, *extra)
+        sync(out)
+        best = float("inf")
+        for i in range(iters):
+            x = x2 * (1.0 + 0.001 * i)     # distinct work every call
+            t0 = time.perf_counter()
+            out = fn(params, x, *extra)
+            sync(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    iters = 1 if QUICK else 4
+    t_carved = timeit(carved, iters)
+    t_dense = timeit(dense, max(1, iters - 1))
+    s_tokens = -(-plan.seq_len // 128) * 128
+    residual = jnp.zeros((2, s_tokens, cfg.dim), jnp.float32)
+    t_skip = timeit(skip_path, iters, residual)
+
+    n_comp = int(STEPS * COMPUTE_FRAC)
+    carved_clip = n_comp * t_carved + (STEPS - n_comp) * t_skip
+    dense_clip = STEPS * t_dense
+    speedup = dense_clip / carved_clip
+
+    print(json.dumps({
+        "metric": "Wan2.1-1.3B DiT s/clip, Jenga-Base carving+TeaCache, "
+                  "832x480x81f, 50 steps (our dense {:.0f}s; carving-only "
+                  "speedup {:.2f}x; per-call carved {:.2f}s dense {:.2f}s "
+                  "skip {:.3f}s)".format(
+                      dense_clip, t_dense / t_carved, t_carved, t_dense,
+                      t_skip),
+        "value": round(carved_clip, 2),
+        "unit": "s/clip",
+        "kernel_max_err": round(kerr, 5),
+        "vs_baseline": round((dense_clip / carved_clip)
+                             / REF_JENGA_BASE_SPEEDUP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
