@@ -453,6 +453,12 @@ def run_wan_i2v(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from .utils.logging import get_logger, log_args
+    # rank-gating uses the env var so logging needs no backend init (the
+    # --cpu flag must be applied before the first jax call)
+    import os as _os
+    logger = get_logger(rank=int(_os.environ.get("JAX_PROCESS_INDEX", "0")))
+    log_args(logger, args)
     if args.cmd == "hyvideo-t2v":
         run_hyvideo_t2v(args)
     elif args.cmd == "hyvideo-i2v":

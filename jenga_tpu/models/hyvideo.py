@@ -312,6 +312,8 @@ def _joint_attention(q, k, v, cfg: HYVideoConfig, carve: HYCarve | None,
     s_pad = -(-s // 128) * 128
     # dense fallback: no carving, or the sequence is so short that there is
     # no video block left after the trailing text blocks (tiny test shapes)
+    kv_len = None if seqlen is None else jnp.broadcast_to(
+        jnp.asarray(seqlen, jnp.int32).reshape(-1), (b,))
     if (carve is None or carve.sa_drop_rate == 0.0
             or s_pad // 128 <= carve.txt_block_num):
         if mesh is not None and n % mesh.shape.get("sp", 1) != 0:
@@ -322,11 +324,12 @@ def _joint_attention(q, k, v, cfg: HYVideoConfig, carve: HYCarve | None,
             from ..parallel.ring import ring_attention
             out = ring_attention(
                 q[:, :img_len], k[:, :img_len], v[:, :img_len], mesh,
-                joint_k=k[:, img_len:], joint_v=v[:, img_len:])
-            txt_out = attention_bshd(q[:, img_len:], k, v)
+                joint_k=k[:, img_len:], joint_v=v[:, img_len:],
+                joint_kv_len=None if kv_len is None else kv_len - img_len)
+            txt_out = attention_bshd(q[:, img_len:], k, v, kv_len=kv_len)
             return jnp.concatenate([out, txt_out],
                                    axis=1).reshape(b, s, n * hd)
-        return attention_bshd(q, k, v).reshape(b, s, n * hd)
+        return attention_bshd(q, k, v, kv_len=kv_len).reshape(b, s, n * hd)
 
     pad = s_pad - s
     if pad:
@@ -405,7 +408,7 @@ def _double_block(p, img, txt, vec, cfg, carve, rope_cos, rope_sin,
     k = jnp.concatenate([img_k, txt_k], axis=1)
     v = jnp.concatenate([img_v, txt_v], axis=1)
 
-    attn = _joint_attention(q, k, v, cfg, carve, si, si + st, top_k, mesh)
+    attn = _joint_attention(q, k, v, cfg, carve, si, seqlen, top_k, mesh)
     img_attn, txt_attn = attn[:, :si], attn[:, si:]
 
     def gated(x, y, gate):

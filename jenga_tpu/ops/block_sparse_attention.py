@@ -46,17 +46,16 @@ __all__ = ["block_sparse_attention"]
 
 def _kernel(
     q_ref,          # VMEM (1, block_m, d)
-    k_hbm,          # ANY  (bh, skv, d)
-    v_hbm,          # ANY  (bh, skv, d)
+    kv_hbm,         # ANY  (bh, skv, 2*d) — K and V packed along lanes so a
+                    #   block's K and V arrive in ONE 64KB DMA (half the
+                    #   transfer count of separate K/V fetches)
     lists_hbm,      # ANY  (bh*nqb*row,) int32 packed [count, ids...] rows
     o_ref,          # VMEM (1, block_m, d)
     idx_smem,       # SMEM (2*row,) int32 — double-buffered across rows
                     #   (flat: Mosaic can't sublane-slice a (2, row) SMEM)
-    k_buf,          # VMEM (3, group*block_n, d) kv dtype
-    v_buf,          # VMEM (3, group*block_n, d)
+    kv_buf,         # VMEM (3, group*block_n, 2*d) kv dtype
     list_sems,      # DMA sems (2,)
-    k_sems,         # DMA sems (3, group)
-    v_sems,         # DMA sems (3, group)
+    kv_sems,        # DMA sems (3, group)
     *,
     sm_scale: float,
     text_amp: float,
@@ -104,25 +103,21 @@ def _kernel(
         pos = j * group + g
         return idx_smem[base + 2 + jnp.where(pos < n_, pos, 0)]
 
-    def group_copies(hbm, buf, sems, islot, bh_, j, slot):
+    def group_copies(islot, bh_, j, slot):
         return [
             pltpu.make_async_copy(
-                hbm.at[bh_, pl.ds(blk_of(islot, j, g) * block_n, block_n)],
-                buf.at[slot, pl.ds(g * block_n, block_n)],
-                sems.at[slot, g])
+                kv_hbm.at[bh_, pl.ds(blk_of(islot, j, g) * block_n, block_n)],
+                kv_buf.at[slot, pl.ds(g * block_n, block_n)],
+                kv_sems.at[slot, g])
             for g in range(group)
         ]
 
     def start_group(islot, bh_, j, slot):
-        for c in group_copies(k_hbm, k_buf, k_sems, islot, bh_, j, slot):
-            c.start()
-        for c in group_copies(v_hbm, v_buf, v_sems, islot, bh_, j, slot):
+        for c in group_copies(islot, bh_, j, slot):
             c.start()
 
     def wait_group(islot, bh_, j, slot):
-        for c in group_copies(k_hbm, k_buf, k_sems, islot, bh_, j, slot):
-            c.wait()
-        for c in group_copies(v_hbm, v_buf, v_sems, islot, bh_, j, slot):
+        for c in group_copies(islot, bh_, j, slot):
             c.wait()
 
     @pl.when(step == 0)
@@ -143,7 +138,7 @@ def _kernel(
         idx_dma(step + 1, 1 - parity).start()
 
     q = q_ref[0].astype(jnp.float32) * (sm_scale * _LOG2E)
-    q = q.astype(k_buf.dtype)
+    q = q.astype(kv_buf.dtype)
 
     neg_inf = jnp.float32(-1e30)
     m0 = jnp.full((block_m, 128), neg_inf, jnp.float32)
@@ -161,7 +156,7 @@ def _kernel(
         m_prev, l_prev, acc = carry
         wait_group(parity, bh, j, slot)
 
-        kb = k_buf[slot]
+        kb = kv_buf[slot, :, :d]
         qk = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (block_m, group*block_n)
@@ -188,7 +183,7 @@ def _kernel(
         alpha = jnp.exp2(m_prev - m_next)
         p = jnp.exp2(qk - m_next[:, :1])                       # (bm, gn)
         l_next = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        vb = v_buf[slot]
+        vb = kv_buf[slot, :, d:]
         acc = acc * alpha[:, :1] + jax.lax.dot_general(
             p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -287,8 +282,10 @@ def block_sparse_attention(
 
     bh = b * h
     qf = q.reshape(bh, s, d)
-    kf = k.reshape(bh, skv, d)
-    vf = v.reshape(bh, skv, d)
+    # pack K and V along the lane dim: one DMA per selected block instead
+    # of two (measured: fewer, larger transfers help the HBM-bound gather)
+    kvf = jnp.concatenate([k.reshape(bh, skv, d), v.reshape(bh, skv, d)],
+                          axis=-1)
     lists_flat = block_lists.reshape(bh * nqb * row_size)
 
     kernel = functools.partial(
@@ -307,16 +304,13 @@ def block_sparse_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, block_m, d), lambda bi, qi: (bi, qi, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((2 * row_size,), jnp.int32),
-            pltpu.VMEM((3, group * block_n, d), k.dtype),
-            pltpu.VMEM((3, group * block_n, d), v.dtype),
+            pltpu.VMEM((3, group * block_n, 2 * d), k.dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((3, group)),
             pltpu.SemaphoreType.DMA((3, group)),
         ],
         # both dims "arbitrary": the cross-row prefetch pipeline (SMEM/VMEM
@@ -325,5 +319,5 @@ def block_sparse_attention(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(qf, kf, vf, lists_flat)
+    )(qf, kvf, lists_flat)
     return out.reshape(b, h, s, d)

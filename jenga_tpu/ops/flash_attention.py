@@ -15,6 +15,10 @@ Uses:
     (`/root/reference/wan/modules/model_mul.py:153-159`),
   * Wan cross-attention over short text sequences,
   * dense paths of the Ulysses wrapper.
+
+``kv_len`` gives per-sample valid key counts — the reference's cu_seqlens
+semantics (`/root/reference/hyvideo/modules/attenion.py:34-57`): keys at
+positions >= kv_len[b] (padded text tokens) are masked out of the softmax.
 """
 
 from __future__ import annotations
@@ -29,13 +33,19 @@ __all__ = ["dense_attention", "attention_bshd"]
 _FLASH_MIN_SEQ = 1024  # below this, XLA-fused jnp attention wins
 
 
-def _jnp_attention(q, k, v, sm_scale, q_chunk=4096):
+def _jnp_attention(q, k, v, sm_scale, kv_len=None, q_chunk=4096):
     """Chunked dense attention in plain jnp (any backend, any seq length)."""
     b, h, sq, d = q.shape
+    skv = k.shape[2]
+    kmask = None
+    if kv_len is not None:
+        kmask = (jnp.arange(skv)[None] < kv_len[:, None])[:, None, None]
 
     def chunk(qc):
         logits = jnp.einsum("bhqd,bhkd->bhqk", qc.astype(jnp.float32),
                             k.astype(jnp.float32)) * sm_scale
+        if kmask is not None:
+            logits = jnp.where(kmask, logits, -jnp.inf)
         p = jax.nn.softmax(logits, axis=-1)
         return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
 
@@ -53,16 +63,20 @@ def _jnp_attention(q, k, v, sm_scale, q_chunk=4096):
 @functools.partial(jax.jit, static_argnames=("sm_scale", "causal"))
 def dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     *, sm_scale: float | None = None,
-                    causal: bool = False) -> jax.Array:
+                    causal: bool = False,
+                    kv_len: jax.Array | None = None) -> jax.Array:
     """Dense multi-head attention over [B, H, S, D] tensors.
 
     Dispatches to the Pallas TPU flash-attention kernel when running on TPU
     with long-enough sequences, else to chunked jnp (which XLA fuses well on
-    every backend).
+    every backend). ``kv_len``: optional [B] int array of valid key counts;
+    keys past it are excluded from the softmax.
     """
     b, h, sq, d = q.shape
     if sm_scale is None:
         sm_scale = d ** -0.5
+    if kv_len is not None:
+        kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if on_tpu and sq >= _FLASH_MIN_SEQ and d % 128 == 0 and not causal:
@@ -90,20 +104,27 @@ def dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
         if skv_p <= 2048:
             bq, sq_p = pick_tile(sq_p, 2048)
-            bk, skv_p = skv_p, skv_p
+            bk = skv_p
         else:
             bq, sq_p = pick_tile(sq_p, 1024)
             bk, skv_p = pick_tile(skv_p, 1024)
         flash_kw = {"block_sizes": BlockSizes(
             block_q=bq, block_k_major=bk, block_k=bk, block_b=1)}
-        if sq_p != sq or skv_p != skv:
+        if sq_p != sq or skv_p != skv or kv_len is not None:
             qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
             kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
             vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
-            seg_q = (jnp.arange(sq_p) >= sq).astype(jnp.int32)[None]
-            seg_kv = (jnp.arange(skv_p) >= skv).astype(jnp.int32)[None]
-            seg = SegmentIds(q=jnp.broadcast_to(seg_q, (b, sq_p)),
-                             kv=jnp.broadcast_to(seg_kv, (b, skv_p)))
+            # segment 0 = valid, 1 = padded; valid q rows then never attend
+            # padded/invalid keys, and (all-padded-key) q pad rows are
+            # sliced off below.
+            seg_q = jnp.broadcast_to(
+                (jnp.arange(sq_p) >= sq).astype(jnp.int32)[None], (b, sq_p))
+            kvalid = jnp.full((b,), skv, jnp.int32)
+            if kv_len is not None:
+                kvalid = jnp.minimum(kvalid, kv_len)
+            seg_kv = (jnp.arange(skv_p)[None]
+                      >= kvalid[:, None]).astype(jnp.int32)
+            seg = SegmentIds(q=seg_q, kv=seg_kv)
             out = pl_flash(qp, kp, vp, segment_ids=seg, causal=False,
                            sm_scale=sm_scale, **flash_kw)
             return out[:, :, :sq]
@@ -112,12 +133,15 @@ def dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if causal:
         logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
                             k.astype(jnp.float32)) * sm_scale
-        mask = jnp.tril(jnp.ones((sq, k.shape[2]), bool))
+        mask = jnp.tril(jnp.ones((sq, k.shape[2]), bool))[None, None]
+        if kv_len is not None:
+            mask = mask & (jnp.arange(k.shape[2])[None]
+                           < kv_len[:, None])[:, None, None]
         logits = jnp.where(mask, logits, -jnp.inf)
         p = jax.nn.softmax(logits, axis=-1)
         return jnp.einsum("bhqk,bhkd->bhqd", p,
                           v.astype(jnp.float32)).astype(q.dtype)
-    return _jnp_attention(q, k, v, sm_scale)
+    return _jnp_attention(q, k, v, sm_scale, kv_len=kv_len)
 
 
 def attention_bshd(q, k, v, **kwargs):

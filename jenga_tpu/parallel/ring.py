@@ -25,13 +25,17 @@ from jax.sharding import Mesh, PartitionSpec as P
 __all__ = ["ring_attention"]
 
 
-def _partial_attn(q, k, v, scale):
+def _partial_attn(q, k, v, scale, kv_len=None):
     """Returns (out_unnormalized, lse) for one KV chunk.
 
     q [B,H,Sq,D], k/v [B,H,Sk,D] -> out [B,H,Sq,D] (sum of exp-weighted v,
-    normalized by exp(lse)), lse [B,H,Sq]."""
+    normalized by exp(lse)), lse [B,H,Sq]. ``kv_len``: optional [B] valid
+    key counts; keys past it are masked (padded text tokens)."""
     logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
                         k.astype(jnp.float32)) * scale
+    if kv_len is not None:
+        kmask = (jnp.arange(k.shape[2])[None] < kv_len[:, None])
+        logits = jnp.where(kmask[:, None, None], logits, -jnp.inf)
     m = jnp.max(logits, axis=-1)
     p = jnp.exp(logits - m[..., None])
     l = jnp.sum(p, axis=-1)
@@ -51,18 +55,21 @@ def _merge(o1, lse1, o2, lse2):
 
 
 def ring_attention(q, k, v, mesh: Mesh, *, axis: str = "sp",
-                   joint_k=None, joint_v=None, sm_scale=None):
+                   joint_k=None, joint_v=None, sm_scale=None,
+                   joint_kv_len=None):
     """Sequence-sharded dense attention via KV ring rotation.
 
     q/k/v: [B, S_local, H, D] token-sharded over ``axis``;
     joint_k/joint_v: optional replicated [B, S_txt, H, D] text KV appended
-    for every query. Returns [B, S_local, H, D] with input sharding.
+    for every query; joint_kv_len: optional [B] valid joint-key counts
+    (padded text tokens masked, the reference's cu_seqlens semantics).
+    Returns [B, S_local, H, D] with input sharding.
     """
     n = mesh.shape[axis]
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else d ** -0.5
 
-    def inner(q, k, v, jk, jv):
+    def inner(q, k, v, jk, jv, jlen):
         qt = q.transpose(0, 2, 1, 3)
         kt = k.transpose(0, 2, 1, 3)
         vt = v.transpose(0, 2, 1, 3)
@@ -83,25 +90,28 @@ def ring_attention(q, k, v, mesh: Mesh, *, axis: str = "sp",
 
         if jk is not None:
             o2, l2 = _partial_attn(qt, jk.transpose(0, 2, 1, 3),
-                                   jv.transpose(0, 2, 1, 3), scale)
+                                   jv.transpose(0, 2, 1, 3), scale,
+                                   kv_len=jlen)
             out, lse = _merge(out, lse, o2, l2)
         return out.transpose(0, 2, 1, 3).astype(q.dtype)
 
     has_joint = joint_k is not None
-    specs = [P(None, axis, None, None)] * 3 + \
-        ([P(), P()] if has_joint else [None, None])
+    if joint_kv_len is not None:
+        joint_kv_len = jnp.broadcast_to(
+            jnp.asarray(joint_kv_len, jnp.int32).reshape(-1), (q.shape[0],))
+    has_jlen = joint_kv_len is not None
+    specs = [P(None, axis, None, None)] * 3 + [P(), P(), P()]
     if not has_joint:
         joint_k = joint_v = jnp.zeros((0,), q.dtype)
-        specs = [P(None, axis, None, None)] * 3 + [P(), P()]
+    if not has_jlen:
+        joint_kv_len = jnp.zeros((0,), jnp.int32)
 
-        def inner_nojoint(q, k, v, jk, jv):
-            return inner(q, k, v, None, None)
-        fn = jax.shard_map(inner_nojoint, mesh=mesh, in_specs=tuple(specs),
-                           out_specs=P(None, axis, None, None),
-                           check_vma=False)
-        return fn(q, k, v, joint_k, joint_v)
+    def inner_opt(q, k, v, jk, jv, jlen):
+        return inner(q, k, v, jk if has_joint else None,
+                     jv if has_joint else None,
+                     jlen if has_jlen else None)
 
-    fn = jax.shard_map(inner, mesh=mesh, in_specs=tuple(specs),
+    fn = jax.shard_map(inner_opt, mesh=mesh, in_specs=tuple(specs),
                        out_specs=P(None, axis, None, None),
                        check_vma=False)
-    return fn(q, k, v, joint_k, joint_v)
+    return fn(q, k, v, joint_k, joint_v, joint_kv_len)

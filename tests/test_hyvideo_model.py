@@ -150,3 +150,26 @@ def test_token_replace_i2v_variant():
                                    jnp.array([0.0]), txt, None, txt2)
     np.testing.assert_allclose(np.asarray(out_t0), np.asarray(out_plain_t0),
                                atol=1e-4)
+
+
+def test_padded_text_keys_masked(setup):
+    """Padded text tokens (text_mask 0) must not influence img rows in
+    either the dense or the carved joint-attention path (the reference's
+    cu_seqlens semantics, `/root/reference/hyvideo/modules/attenion.py:
+    34-57`)."""
+    params, x, t, txt, mask, txt2 = setup
+    garbage = txt.at[:, 6:].add(100.0)   # mask zeroes positions 6..8
+
+    def img_out(txt_states, carve):
+        img, txth, aux = hyvideo_embed(params, TINY, x, t, txt_states,
+                                       mask, txt2, carve)
+        return hyvideo_trunk(params, TINY, img, txth, aux, carve)
+
+    for carve in (None,
+                  make_hy_carve(TINY, build_curve_plan((2, 4, 6), "gilbert",
+                                                       128),
+                                sa_drop_rate=0.5, p_remain=0.5,
+                                txt_block_num=1)):
+        a = img_out(txt, carve)
+        b = img_out(garbage, carve)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -75,7 +75,7 @@ def attn_only(params, img, txt):
     # q/k/v random-projected then joint attention — the attention core
     p = params["double_blocks"][0]
     dtype = img.dtype
-    qkv = hy.L.linear(p["img_attn_qkv"], img)
+    qkv = hy.L.linear(p["img_qkv"], img)
     b, s, _ = qkv.shape
     q, k, v = jnp.split(qkv.reshape(b, s, 3, cfg.heads_num, -1), 3, axis=2)
     q, k, v = (t.squeeze(2) for t in (q, k, v))
