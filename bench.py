@@ -131,24 +131,31 @@ def main():
 
     plan = build_curve_plan(grid, "gilbert", 128)
 
+    # params AND carve passed explicitly: closing over either captures
+    # GBs of weights / ~60MB of rope+curve tables as compile-time
+    # constants and blows up lowering (carve is a registered pytree).
+    @jax.jit
+    def full_j(params, carve, x):
+        img, txth, aux = hy.hyvideo_embed(params, cfg, x, t, txt, mask,
+                                          txt2, carve, guidance)
+        img2 = hy.hyvideo_trunk(params, cfg, img, txth, aux, carve)
+        return hy.hyvideo_head(params, cfg, img2, aux, carve), img2 - img
+
+    @jax.jit
+    def skipped_j(params, carve, x, residual):
+        img, txth, aux = hy.hyvideo_embed(params, cfg, x, t, txt, mask,
+                                          txt2, carve, guidance)
+        return hy.hyvideo_head(params, cfg, img + residual, aux, carve)
+
     def make_fns(sa_drop_rate):
         carve = hy.make_hy_carve(cfg, plan, sa_drop_rate=sa_drop_rate,
                                  p_remain=0.05, txt_block_num=2)
 
-        # params passed explicitly: closing over the tree would capture
-        # GBs of compile-time constants and blow up lowering.
-        @jax.jit
         def full(params, x):
-            img, txth, aux = hy.hyvideo_embed(params, cfg, x, t, txt, mask,
-                                              txt2, carve, guidance)
-            img2 = hy.hyvideo_trunk(params, cfg, img, txth, aux, carve)
-            return hy.hyvideo_head(params, cfg, img2, aux, carve), img2 - img
+            return full_j(params, carve, x)
 
-        @jax.jit
         def skipped(params, x, residual):
-            img, txth, aux = hy.hyvideo_embed(params, cfg, x, t, txt, mask,
-                                              txt2, carve, guidance)
-            return hy.hyvideo_head(params, cfg, img + residual, aux, carve)
+            return skipped_j(params, carve, x, residual)
 
         return carve, full, skipped
 

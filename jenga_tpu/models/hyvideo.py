@@ -78,7 +78,12 @@ HUNYUAN_VIDEO_I2V = HYVideoConfig(in_channels=33,
 
 @dataclasses.dataclass(frozen=True)
 class HYCarve:
-    """Per-stage carving spec: curve + selection + text-bias parameters."""
+    """Per-stage carving spec: curve + selection + text-bias parameters.
+
+    Registered as a pytree (arrays = leaves, scalars = static metadata) so
+    it can be passed as a jit ARGUMENT: closing over it would bake the
+    ~60MB rope tables + curve orders into the HLO as constants, which blows
+    up compile payloads (measured: minutes of remote-compile per stage)."""
     curve_order: np.ndarray        # [S_img] int32
     inverse_order: np.ndarray      # [S_img] int32
     block_neighbors: np.ndarray    # [nb, nb] bool over video blocks
@@ -88,6 +93,13 @@ class HYCarve:
     p_remain: float
     text_amp: float = 0.0
     txt_block_num: int = 2
+
+
+jax.tree_util.register_dataclass(
+    HYCarve,
+    data_fields=["curve_order", "inverse_order", "block_neighbors",
+                 "rope_cos", "rope_sin"],
+    meta_fields=["sa_drop_rate", "p_remain", "text_amp", "txt_block_num"])
 
 
 def hy_rope_tables(cfg: HYVideoConfig, grid: tuple[int, int, int],
@@ -501,14 +513,13 @@ def hyvideo_embed(params, cfg: HYVideoConfig, x, t, text_states, text_mask,
             params["vector_in"], text_states_2.astype(jnp.float32))
         tr_vec = tr_vec.astype(jnp.float32)
         ff = grid[1] * grid[2]
-        mask_img = np.zeros(img.shape[1], bool)
-        mask_img[:ff] = True
+        mask_img = jnp.arange(img.shape[1]) < ff
         if carve is not None:
-            mask_img = mask_img[np.asarray(carve.curve_order)]
-        mask_full = np.concatenate(
-            [mask_img, np.zeros(txt.shape[1], bool)])
-        tr = dict(vec=tr_vec, mask_img=jnp.asarray(mask_img),
-                  mask_full=jnp.asarray(mask_full))
+            # traced-safe gather (carve may be a jit argument)
+            mask_img = mask_img[jnp.asarray(carve.curve_order)]
+        mask_full = jnp.concatenate(
+            [mask_img, jnp.zeros(txt.shape[1], bool)])
+        tr = dict(vec=tr_vec, mask_img=mask_img, mask_full=mask_full)
 
     if carve is not None:
         img = img[:, jnp.asarray(carve.curve_order)]

@@ -46,27 +46,34 @@ def linear(p, x, precision=None):
 
 
 def rms_norm(x, weight=None, eps: float = 1e-6):
-    """RMSNorm in f32, result cast back (reference WanRMSNorm / RMSNorm)."""
+    """RMSNorm in f32, result cast back (reference WanRMSNorm / RMSNorm).
+
+    The affine multiply happens in f32 BEFORE the cast: multiplying after
+    would promote the result to the f32 weight dtype — which silently put
+    the whole q/k stream (and through concat, the attention kernel's KV
+    gather) in f32: 2x HBM bytes + f32 MXU, measured 1.8x slower at the HY
+    720p shape."""
     xf = x.astype(jnp.float32)
     y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
-    y = y.astype(x.dtype)
     if weight is not None:
-        y = y * weight
-    return y
+        y = y * weight.astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 def layer_norm(x, weight=None, bias=None, eps: float = 1e-6):
-    """LayerNorm computed in f32; affine optional (reference WanLayerNorm)."""
+    """LayerNorm computed in f32; affine optional (reference WanLayerNorm).
+
+    Affine in f32 before the final cast — see rms_norm for why the order
+    matters (f32 dtype leakage into every downstream matmul)."""
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = y.astype(x.dtype)
     if weight is not None:
-        y = y * weight
+        y = y * weight.astype(jnp.float32)
     if bias is not None:
-        y = y + bias
-    return y
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 def gelu_tanh(x):

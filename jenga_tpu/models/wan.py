@@ -100,6 +100,14 @@ class WanCarve:
     seqlen: int                     # real (unpadded) token count
 
 
+jax.tree_util.register_dataclass(
+    WanCarve,
+    data_fields=["curve_order", "inverse_order", "block_neighbors",
+                 "rope_cos", "rope_sin"],
+    meta_fields=["sa_drop_rate", "p_remain", "first_frame_blocks",
+                 "seqlen"])
+
+
 def wan_rope_tables(cfg: WanConfig, grid: tuple[int, int, int],
                     order: np.ndarray | None = None,
                     pad_to: int | None = None):

@@ -86,12 +86,14 @@ class HYVideoT2VPipeline:
         return shapes
 
     def _stage_fns(self, carve, batch: int):
-        # params is an explicit argument (closing over the tree would bake
-        # multi-GB of weights into the HLO as constants).
+        # params AND carve are explicit arguments: closing over either
+        # bakes multi-GB weights / ~60MB rope+curve tables into the HLO as
+        # constants (compile blow-up; carve is a registered pytree whose
+        # scalar fields are static metadata).
         cfg, mesh = self.cfg, self.mesh
 
         @jax.jit
-        def full(params, x, t, txt, mask, txt2, guidance):
+        def full(params, carve, x, t, txt, mask, txt2, guidance):
             img, txth, aux = hy.hyvideo_embed(params, cfg, x, t, txt, mask,
                                               txt2, carve, guidance)
             img2 = hy.hyvideo_trunk(params, cfg, img, txth, aux, carve,
@@ -100,12 +102,19 @@ class HYVideoT2VPipeline:
             return v, img2 - img
 
         @jax.jit
-        def skipped(params, x, t, txt, mask, txt2, guidance, residual):
+        def skipped(params, carve, x, t, txt, mask, txt2, guidance,
+                    residual):
             img, txth, aux = hy.hyvideo_embed(params, cfg, x, t, txt, mask,
                                               txt2, carve, guidance)
             return hy.hyvideo_head(params, cfg, img + residual, aux, carve)
 
-        return full, skipped
+        def full_c(params, *a):
+            return full(params, carve, *a)
+
+        def skipped_c(params, *a):
+            return skipped(params, carve, *a)
+
+        return full_c, skipped_c
 
     # ---------------------------------------------------------- generate
 

@@ -62,12 +62,12 @@ class WanI2VPipeline(WanT2VPipeline):
     """I2V sampler around a Wan i2v DiT (model_type='i2v', in_dim 36)."""
 
     def _stage_fns_i2v(self, carve):
-        # params is an explicit argument (closing over the tree would bake
-        # multi-GB of weights into the HLO as constants).
+        # params AND carve are explicit arguments (closing over either
+        # bakes weights / rope+curve tables into the HLO as constants).
         cfg, mesh = self.cfg, self.mesh
 
         @jax.jit
-        def full(params, x2, t2, ctx2, y2, clip2, top_k):
+        def full(params, carve, x2, t2, ctx2, y2, clip2, top_k):
             h0, aux = wan_lib.wan_embed(params, cfg, x2, t2, ctx2, carve,
                                         clip_fea=clip2, y=y2)
             h1 = wan_lib.wan_trunk(params, cfg, h0, aux, carve, top_k,
@@ -76,21 +76,23 @@ class WanI2VPipeline(WanT2VPipeline):
             return v, h1 - h0
 
         @jax.jit
-        def full_dense(params, x2, t2, ctx2, y2, clip2):
-            dc = dataclasses.replace(carve, sa_drop_rate=0.0)
-            h0, aux = wan_lib.wan_embed(params, cfg, x2, t2, ctx2, dc,
-                                        clip_fea=clip2, y=y2)
-            h1 = wan_lib.wan_trunk(params, cfg, h0, aux, dc, mesh=mesh)
-            v = wan_lib.wan_head(params, cfg, h1, aux, dc)
-            return v, h1 - h0
-
-        @jax.jit
-        def skipped(params, x2, t2, ctx2, y2, clip2, residual):
+        def skipped(params, carve, x2, t2, ctx2, y2, clip2, residual):
             h0, aux = wan_lib.wan_embed(params, cfg, x2, t2, ctx2, carve,
                                         clip_fea=clip2, y=y2)
             return wan_lib.wan_head(params, cfg, h0 + residual, aux, carve)
 
-        return full, full_dense, skipped
+        dc = dataclasses.replace(carve, sa_drop_rate=0.0)
+
+        def full_c(params, *a):
+            return full(params, carve, *a)
+
+        def full_dense_c(params, *a):
+            return full(params, dc, *a, jnp.zeros((), jnp.int32))
+
+        def skipped_c(params, *a):
+            return skipped(params, carve, *a)
+
+        return full_c, full_dense_c, skipped_c
 
     def generate_i2v(self, image_latent, clip_fea, context, context_null,
                      frame_num: int, lat_h: int, lat_w: int,

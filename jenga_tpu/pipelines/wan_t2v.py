@@ -113,9 +113,11 @@ class WanT2VPipeline:
         constants and blow up lowering at 1.3B/14B scale.
         """
         cfg, mesh = self.cfg, self.mesh
+        # carve is also an argument: its rope/curve tables (a registered
+        # pytree) would otherwise become ~tens-of-MB HLO constants.
 
         @jax.jit
-        def full(params, x2, t2, ctx2, top_k):
+        def full(params, carve, x2, t2, ctx2, top_k):
             h0, aux = wan_lib.wan_embed(params, cfg, x2, t2, ctx2, carve)
             h1 = wan_lib.wan_trunk(params, cfg, h0, aux, carve, top_k,
                                    mesh=mesh)
@@ -123,21 +125,22 @@ class WanT2VPipeline:
             return v, h1 - h0
 
         @jax.jit
-        def full_dense(params, x2, t2, ctx2):
-            dense_carve = dataclasses.replace(carve, sa_drop_rate=0.0)
-            h0, aux = wan_lib.wan_embed(params, cfg, x2, t2, ctx2,
-                                        dense_carve)
-            h1 = wan_lib.wan_trunk(params, cfg, h0, aux, dense_carve,
-                                   mesh=mesh)
-            v = wan_lib.wan_head(params, cfg, h1, aux, dense_carve)
-            return v, h1 - h0
-
-        @jax.jit
-        def skipped(params, x2, t2, ctx2, residual):
+        def skipped(params, carve, x2, t2, ctx2, residual):
             h0, aux = wan_lib.wan_embed(params, cfg, x2, t2, ctx2, carve)
             return wan_lib.wan_head(params, cfg, h0 + residual, aux, carve)
 
-        return full, full_dense, skipped
+        dense_carve = dataclasses.replace(carve, sa_drop_rate=0.0)
+
+        def full_c(params, *a):
+            return full(params, carve, *a)
+
+        def full_dense_c(params, *a):
+            return full(params, dense_carve, *a, jnp.zeros((), jnp.int32))
+
+        def skipped_c(params, *a):
+            return skipped(params, carve, *a)
+
+        return full_c, full_dense_c, skipped_c
 
     def _teacache_schedule(self, timesteps: np.ndarray, opts: WanT2VOptions,
                            stage_starts):

@@ -102,18 +102,25 @@ def main():
 
     # params passed explicitly: closing over the 1.3B tree would capture
     # ~2.9GB of compile-time constants and blow up lowering.
+    # carve passed explicitly (registered pytree): closing over it bakes
+    # the rope/curve tables into the HLO as constants -> slow compiles.
     @jax.jit
-    def carved(params, x2):
+    def fwd(params, carve, x2):
         return wan_forward(params, cfg, x2, t2, ctx2, carve=carve)
 
-    @jax.jit
+    def carved(params, x2):
+        return fwd(params, carve, x2)
+
     def dense(params, x2):
-        return wan_forward(params, cfg, x2, t2, ctx2, carve=dense_carve)
+        return fwd(params, dense_carve, x2)
 
     @jax.jit
-    def skip_path(params, x2, residual):
+    def skip_j(params, carve, x2, residual):
         h0, aux = wan_embed(params, cfg, x2, t2, ctx2, carve)
         return wan_head(params, cfg, h0 + residual, aux, carve)
+
+    def skip_path(params, x2, residual):
+        return skip_j(params, carve, x2, residual)
 
     def sync(out):
         # On the remote-relay backend block_until_ready can return before
