@@ -112,18 +112,36 @@ def _kernel(
             for g in range(group)
         ]
 
+    def _overhang_guard(islot, j, g, fn):
+        # Skip the DMA entirely for list positions past the row's count:
+        # the last group's overhang would otherwise re-fetch block 0 per
+        # slot — up to (group-1)/count extra traffic (measured 6%+ of
+        # gather bytes at group 16, worse for wider groups). Compute masks
+        # those lanes, so the stale buffer contents are never read.
+        base = islot * row_size
+        n_ = idx_smem[base]
+
+        @pl.when(j * group + g < n_)
+        def _():
+            fn()
+
     def start_group(islot, bh_, j, slot):
-        for c in group_copies(islot, bh_, j, slot):
-            c.start()
+        for g, c in enumerate(group_copies(islot, bh_, j, slot)):
+            _overhang_guard(islot, j, g, c.start)
 
     def wait_group(islot, bh_, j, slot):
-        for c in group_copies(islot, bh_, j, slot):
-            c.wait()
+        for g, c in enumerate(group_copies(islot, bh_, j, slot)):
+            _overhang_guard(islot, j, g, c.wait)
 
     @pl.when(step == 0)
     def _():
         # Bootstrap: the first row fetches its own list and group 0 (into
-        # the cross-row slot 2, where every row's group 0 lives).
+        # the cross-row slot 2, where every row's group 0 lives). The KV
+        # scratch is zeroed once: overhang-guarded slots are never DMA'd,
+        # and uninitialized VMEM could hold NaN bit patterns that poison
+        # the PV matmul through 0*NaN (stale data afterwards is always
+        # finite real KV bytes).
+        kv_buf[...] = jnp.zeros(kv_buf.shape, kv_buf.dtype)
         idx_dma(0, 0).start()
         idx_dma(0, 0).wait()
         start_group(0, bh, 0, 2)
@@ -248,10 +266,11 @@ def block_sparse_attention(
         # Mosaic only targets TPU; emulate on CPU (tests, tiny local runs).
         interpret = jax.default_backend() == "cpu"
     if group is None:
-        # 16 KV blocks per DMA group measured ~9% faster than 8 on v5e at
-        # d=128 (wider MXU tiles, fewer loop iterations); scale down for
-        # fatter heads so the double-buffered K+V scratch stays ~16MB.
-        group = max(4, 2048 // max(q.shape[-1], 128))
+        # 24 KV blocks per group measured best on v5e at d=128 with the
+        # overhang-guarded DMA (8/16/24/32 -> 637/564/558/567 ms at the
+        # HY-720p shape); scale down for fatter heads so the triple-
+        # buffered packed-KV scratch stays well under VMEM.
+        group = max(4, 3072 // max(q.shape[-1], 128))
     b, h, s, d = q.shape
     skv = k.shape[2]
     block_m = DEFAULT_BLOCK
