@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["base", "turbo", "flash", "3stage", "accvideo"])
     h.add_argument("--embedded-cfg-scale", type=float, default=6.0)
     h.add_argument("--use-fp8", action="store_true")
+    h.add_argument("--use-cpu-offload", action="store_true",
+                   help="keep VAE + text-encoder weights in host RAM and "
+                        "run those stages on CPU (reference "
+                        "--use-cpu-offload)")
 
     i = sub.add_parser("hyvideo-i2v", help="HunyuanVideo image-to-video")
     _common(i)
@@ -239,7 +243,8 @@ def _hy_sampler(args, i2v: bool):
         args.ckpt_dir, i2v=i2v, seed=args.seed,
         use_fp8=getattr(args, "use_fp8", False),
         lora_path=getattr(args, "lora_path", None),
-        sp_degree=args.ulysses_degree)
+        sp_degree=args.ulysses_degree,
+        use_cpu_offload=getattr(args, "use_cpu_offload", False))
 
 
 def _zero_hy_text(cfg, length=256):

@@ -71,12 +71,34 @@ class HunyuanVideoSampler:
     SKIP_LAYER = 2          # --hidden-state-skip-layer default
 
     def __init__(self, cfg, params, vae_params=None, i2v=False,
-                 text_encoder=None, text_encoder_2=None, mesh=None):
+                 text_encoder=None, text_encoder_2=None, mesh=None,
+                 offload_to_host: bool = False):
         self.cfg = cfg
         if mesh is not None:
             from .parallel.mesh import shard_params_fsdp
             params = shard_params_fsdp(params, mesh)
         self.params = params
+        # CPU offload (reference ``--use-cpu-offload``,
+        # `/root/reference/hyvideo/inference.py:453-454`): VAE + text
+        # encoder weights stay in host RAM and their stages run on the CPU
+        # backend (computation follows the committed param placement),
+        # leaving HBM to the DiT. On 16GB v5e this is what makes the 13B
+        # DiT + encoders coexist.
+        self.offload = offload_to_host
+        if offload_to_host:
+            cpu = jax.devices("cpu")[0]
+
+            def to_host(tree):
+                return (None if tree is None else
+                        jax.tree.map(lambda x: jax.device_put(x, cpu), tree))
+
+            vae_params = to_host(vae_params)
+            if text_encoder is not None:
+                tok, tcfg, tp = text_encoder
+                text_encoder = (tok, tcfg, to_host(tp))
+            if text_encoder_2 is not None:
+                tok2, tcfg2, tp2 = text_encoder_2
+                text_encoder_2 = (tok2, tcfg2, to_host(tp2))
         self.vae_params = vae_params
         self.vae_cfg = vae_hy.HYVAE_884_16C
         self.text_encoder = text_encoder        # (tokenizer, cfg, params)
@@ -89,7 +111,8 @@ class HunyuanVideoSampler:
     def from_pretrained(cls, ckpt_dir: str | None = None, i2v: bool = False,
                         seed: int = 0, dtype: str = "bfloat16",
                         use_fp8: bool = False, lora_path: str | None = None,
-                        lora_alpha: float = 1.0, sp_degree: int = 1):
+                        lora_alpha: float = 1.0, sp_degree: int = 1,
+                        use_cpu_offload: bool = False):
         """``sp_degree`` > 1 builds a sequence-parallel mesh over the first
         N devices (Ulysses in every attention + FSDP param sharding) —
         the reference's --ulysses-degree
@@ -140,7 +163,7 @@ class HunyuanVideoSampler:
             mesh = make_sp_mesh(jax.devices()[:sp_degree])
         return cls(cfg, params, vae_params, i2v=i2v,
                    text_encoder=text_encoder, text_encoder_2=text_encoder_2,
-                   mesh=mesh)
+                   mesh=mesh, offload_to_host=use_cpu_offload)
 
     # ---------------------------------------------------------- encoders
 
@@ -314,6 +337,8 @@ class HunyuanVideoSampler:
         if self.vae_params is None:
             return latents
         z = jnp.asarray(latents)[None] / self.vae_cfg.scaling_factor
+        if self.offload:
+            z = jax.device_put(z, jax.devices("cpu")[0])
         video = vae_hy.vae_decode_tiled(self.vae_params, z, self.vae_cfg)
         return jnp.clip(video[0], -1.0, 1.0)
 

@@ -188,3 +188,22 @@ def test_hy_encode_prompt_i2v_llava(tmp_path, monkeypatch):
     assert hidden.ndim == 2 and hidden.shape[1] == 48
     assert mask.shape[0] == hidden.shape[0]
     assert np.isfinite(hidden).all()
+
+
+def test_hy_cpu_offload_encoders(hy_ckpt_dir, monkeypatch):
+    """--use-cpu-offload keeps encoder/VAE params committed to host CPU and
+    the prompt path still works (reference ``--use-cpu-offload``,
+    `/root/reference/hyvideo/inference.py:453-454`)."""
+    import jax
+    import jenga_tpu.runtime as rt
+    _stub_dit_init(monkeypatch)
+    monkeypatch.setattr(rt.HunyuanVideoSampler, "TEXT_LEN", 16)
+    sampler = rt.HunyuanVideoSampler.from_pretrained(
+        hy_ckpt_dir, use_cpu_offload=True)
+    cpu = jax.devices("cpu")[0]
+    lp = sampler.text_encoder[2]
+    leaf = jax.tree_util.tree_leaves(lp)[0]
+    assert leaf.devices() == {cpu}
+    hidden, mask, pooled = sampler.encode_prompt("a cat", mode="video")
+    assert np.isfinite(np.asarray(hidden)).all()
+    assert hidden.shape[0] == mask.shape[0]
