@@ -7,9 +7,10 @@ headline measurement (`/root/reference/README.md:79-82`: dense 1625 s/clip,
 Jenga-Base 310 s/clip = 5.24x on 1xH800).
 
 The full 13B model does not fit one v5e chip, so the trunk is measured at
-1/10 depth with the production layer mix (2 double + 4 single blocks vs
-20 + 40) and extrapolated exactly: clip cost = per-step skip cost + 10x the
-measured trunk cost. Everything else is the real Jenga-Base schedule:
+reduced depth with the production layer mix (1 double + 2 single blocks by
+default, 2+4 under BENCH_FULL=1) and extrapolated exactly: clip cost =
+per-step skip cost + 20x the measured trunk cost. Everything else is the
+real Jenga-Base schedule:
 
   * the reference's exact fixed skip list — 23 of 50 steps run the
     transformer (`/root/reference/jenga_hyvideo.py:28`), the rest reuse
@@ -40,12 +41,26 @@ The Wan2.1-1.3B secondary benchmark lives in tools/bench_wan.py.
 import dataclasses
 import json
 import os
+import sys
 import time
 
 import jax
+
+# persistent compile cache: the 115k-token programs take minutes on the
+# remote compile service; cached executables make reruns (and the
+# driver's run) start in seconds.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp
 
-QUICK = bool(int(os.environ.get("BENCH_QUICK", "0")))
+# Light config by default: the driver runs bench.py under a wall-clock
+# budget (round 1 died at rc=124), and compile time dominates. BENCH_FULL=1
+# doubles the measured trunk depth (2+4 layers) and timing iterations.
+FULL = bool(int(os.environ.get("BENCH_FULL", "0")))
+QUICK = not FULL
 REF_HY_BASE_SPEEDUP = 5.24   # 1625/310, /root/reference/README.md:79-82
 STEPS = 50
 STAGE_SPLIT = 25             # step-rate-list "0.5 1.0" of 50 steps
@@ -134,11 +149,14 @@ def main():
     # params AND carve passed explicitly: closing over either captures
     # GBs of weights / ~60MB of rope+curve tables as compile-time
     # constants and blows up lowering (carve is a registered pytree).
+    # ``top_k`` is a traced operand so BOTH drop rates share one carved
+    # compilation (the drop rate only changes the selection floor).
     @jax.jit
-    def full_j(params, carve, x):
+    def full_j(params, carve, x, top_k):
         img, txth, aux = hy.hyvideo_embed(params, cfg, x, t, txt, mask,
                                           txt2, carve, guidance)
-        img2 = hy.hyvideo_trunk(params, cfg, img, txth, aux, carve)
+        img2 = hy.hyvideo_trunk(params, cfg, img, txth, aux, carve,
+                                top_k=top_k)
         return hy.hyvideo_head(params, cfg, img2, aux, carve), img2 - img
 
     @jax.jit
@@ -147,30 +165,58 @@ def main():
                                           txt2, carve, guidance)
         return hy.hyvideo_head(params, cfg, img + residual, aux, carve)
 
-    def make_fns(sa_drop_rate):
-        carve = hy.make_hy_carve(cfg, plan, sa_drop_rate=sa_drop_rate,
-                                 p_remain=0.05, txt_block_num=2)
-
-        def full(params, x):
-            return full_j(params, carve, x)
-
-        def skipped(params, x, residual):
-            return skipped_j(params, carve, x, residual)
-
-        return carve, full, skipped
+    def note(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
     iters = 1 if QUICK else 2
-    _, carved75, skipped_fn = make_fns(0.75)
-    _, carved85, _ = make_fns(0.85)
-    _, dense_fn, _ = make_fns(0.0)
+    carve = hy.make_hy_carve(cfg, plan, sa_drop_rate=0.75, p_remain=0.05,
+                             txt_block_num=2)
+    dense_carve = dataclasses.replace(carve, sa_drop_rate=0.0)
+    nqb = plan.seq_len // 128
+    tk75 = jnp.int32(int(0.25 * nqb))
+    tk85 = jnp.int32(int(0.15 * nqb))
+    tk0 = jnp.int32(0)
 
+    # the three 115k-token programs compile concurrently (the remote
+    # compile service parallelizes) — serial compiles dominated bench wall
+    # time and the driver runs this under a budget.
+    note("lowering + compiling 3 programs in parallel")
+    from concurrent.futures import ThreadPoolExecutor
+    lowered = [
+        full_j.lower(params, carve, x, tk75),
+        full_j.lower(params, dense_carve, x, tk0),
+        skipped_j.lower(params, carve, x,
+                        jnp.zeros((1, -(-plan.seq_len // 128) * 128,
+                                   cfg.hidden_size), jnp.bfloat16)),
+    ]
+    with ThreadPoolExecutor(3) as ex:
+        carved_c, dense_c, skip_c = list(ex.map(
+            lambda lw: lw.compile(), lowered))
+
+    def carved75(params, x):
+        return carved_c(params, carve, x, tk75)
+
+    def carved85(params, x):
+        return carved_c(params, carve, x, tk85)
+
+    def dense_fn(params, x):
+        return dense_c(params, dense_carve, x, tk0)
+
+    def skipped_fn(params, x, residual):
+        return skip_c(params, carve, x, residual)
+
+    note("timing carved drop=0.75")
     t_c75 = timeit(carved75, (params, x), iters)
+    note(f"carved75 {t_c75:.2f}s; timing carved drop=0.85")
     t_c85 = timeit(carved85, (params, x), iters)
+    note(f"carved85 {t_c85:.2f}s; timing dense")
     t_dense = timeit(dense_fn, (params, x), max(1, iters - 1))
+    note(f"dense {t_dense:.2f}s; timing skip path")
     s_img = plan.seq_len
     residual = jnp.zeros((1, -(-s_img // 128) * 128, cfg.hidden_size),
                          jnp.bfloat16)
     t_skip = timeit(skipped_fn, (params, x, residual), iters)
+    note(f"skip {t_skip:.3f}s")
 
     # exact extrapolation to full depth: same layer mix, 1/depth_frac of it
     scale = 1.0 / depth_frac
