@@ -228,9 +228,12 @@ def apply_rope(x, cos, sin):
     """
     d = x.shape[-1]
     xf = x.astype(jnp.float32)
-    swap = jnp.asarray(_rope_swap_matrix(d))
+    # the swap matmul runs in the INPUT dtype: a +/-1 permutation matrix is
+    # exact in bf16 (pure negation/selection), and bf16 hits the full MXU
+    # rate; the f32 accumulate keeps the result exact.
+    swap = jnp.asarray(_rope_swap_matrix(d)).astype(x.dtype)
     xs = jax.lax.dot_general(
-        xf, swap, (((xf.ndim - 1,), (0,)), ((), ())),
+        x, swap, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     cf = jnp.repeat(cos.astype(jnp.float32), 2, axis=-1)[:, None, :]
     sf = jnp.repeat(sin.astype(jnp.float32), 2, axis=-1)[:, None, :]

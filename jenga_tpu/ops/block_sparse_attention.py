@@ -53,9 +53,9 @@ def _kernel(
     o_ref,          # VMEM (1, block_m, d)
     idx_smem,       # SMEM (2*row,) int32 — double-buffered across rows
                     #   (flat: Mosaic can't sublane-slice a (2, row) SMEM)
-    kv_buf,         # VMEM (3, group*block_n, 2*d) kv dtype
+    kv_buf,         # VMEM (4, group*block_n, 2*d) kv dtype
     list_sems,      # DMA sems (2,)
-    kv_sems,        # DMA sems (3, group)
+    kv_sems,        # DMA sems (4, group)
     *,
     sm_scale: float,
     text_amp: float,
@@ -70,8 +70,8 @@ def _kernel(
     issued back-to-back into one contiguous VMEM buffer and consumed by a
     single (block_m, group*block_n) matmul — amortizing DMA/loop latency
     and feeding the MXU wide tiles (one-block-at-a-time was measured
-    latency-bound at <10% of peak). Groups are double-buffered (VMEM slots
-    0/1).
+    latency-bound at <10% of peak). Within-row groups rotate over three
+    VMEM slots {0, 1, 3} for a 2-deep prefetch.
 
     The pipeline also runs *across grid rows*: during row i's compute, the
     kernel prefetches row i+1's packed index list (SMEM slot ``1 - parity``)
@@ -207,11 +207,23 @@ def _kernel(
             preferred_element_type=jnp.float32)
         return m_next, l_next, acc
 
+    # Within-row groups j >= 1 rotate over slots {0, 1, 3} (slot 2 is the
+    # cross-row group-0 home), giving a 2-deep prefetch: while group j
+    # computes, groups j+1 AND j+2 are in flight — one-deep left the DMA
+    # engine idle at group boundaries (measured ~5% at the HY-720p shape).
+    def wslot(j):
+        m_ = jax.lax.rem(j - 1, 3)
+        return m_ + jnp.where(m_ == 2, 1, 0)
+
     # Group 0 (prefetched into slot 2 by the previous row / bootstrap).
     @pl.when(n_groups > 1)
     def _():
-        start_group(parity, bh, 1, 1)
+        start_group(parity, bh, 1, wslot(1))
     carry = compute_group(0, 2, (m0, l0, acc0))
+
+    @pl.when(n_groups > 2)
+    def _():
+        start_group(parity, bh, 2, wslot(2))
 
     # With our group 0 consumed and the next row's list in SMEM, issue the
     # next row's group 0 into slot 2 — it rides behind this row's remaining
@@ -223,13 +235,11 @@ def _kernel(
         start_group(1 - parity, next_bh, 0, 2)
 
     def body(j, carry):
-        slot = jax.lax.rem(j, 2)
-
-        @pl.when(j + 1 < n_groups)
+        @pl.when(j + 2 < n_groups)
         def _():
-            start_group(parity, bh, j + 1, 1 - slot)
+            start_group(parity, bh, j + 2, wslot(j + 2))
 
-        return compute_group(j, slot, carry)
+        return compute_group(j, wslot(j), carry)
 
     m, l, acc = jax.lax.fori_loop(1, n_groups, body, carry)
     l_safe = jnp.where(l[:, :1] == 0.0, 1.0, l[:, :1])
@@ -266,11 +276,11 @@ def block_sparse_attention(
         # Mosaic only targets TPU; emulate on CPU (tests, tiny local runs).
         interpret = jax.default_backend() == "cpu"
     if group is None:
-        # 24 KV blocks per group measured best on v5e at d=128 with the
-        # overhang-guarded DMA (8/16/24/32 -> 637/564/558/567 ms at the
-        # HY-720p shape); scale down for fatter heads so the triple-
-        # buffered packed-KV scratch stays well under VMEM.
-        group = max(4, 3072 // max(q.shape[-1], 128))
+        # with the 2-deep prefetch, 16 KV blocks per group measured best on
+        # v5e at d=128 (16/24/32 -> 552/557/566 ms at the HY-720p shape);
+        # scale down for fatter heads so the 4-slot packed-KV scratch
+        # stays well under VMEM.
+        group = max(4, 2048 // max(q.shape[-1], 128))
     b, h, s, d = q.shape
     skv = k.shape[2]
     block_m = DEFAULT_BLOCK
@@ -328,9 +338,9 @@ def block_sparse_attention(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((2 * row_size,), jnp.int32),
-            pltpu.VMEM((3, group * block_n, 2 * d), k.dtype),
+            pltpu.VMEM((4, group * block_n, 2 * d), k.dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((3, group)),
+            pltpu.SemaphoreType.DMA((4, group)),
         ],
         # both dims "arbitrary": the cross-row prefetch pipeline (SMEM/VMEM
         # scratch carried between grid steps) requires sequential order.
