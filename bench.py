@@ -226,8 +226,10 @@ def main():
 
     compute = fixed_compute_schedule(STEPS, HYVIDEO_NON_SKIP_STEPS,
                                      stage_starts=[STAGE_SPLIT + 1])
-    n75 = int(compute[:STAGE_SPLIT].sum())
-    n85 = int(compute[STAGE_SPLIT:].sum())
+    # the pipeline switches stages AFTER the forward at step STAGE_SPLIT,
+    # so that step still runs at the stage-0 drop rate
+    n75 = int(compute[:STAGE_SPLIT + 1].sum())
+    n85 = int(compute[STAGE_SPLIT + 1:].sum())
     n_skip = STEPS - n75 - n85
 
     carved_clip = n75 * step_c75 + n85 * step_c85 + n_skip * t_skip

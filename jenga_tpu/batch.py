@@ -49,19 +49,30 @@ def load_prompt_list(path: str, remain_list: str | None = None,
 
 def run_batch(items, generate_fn, save_fn, out_dir: str,
               suffix: str = ".mp4", skip_existing: bool = True,
-              log=print):
+              log=print, seed=None):
     """Run ``generate_fn(prompt)`` per (id, prompt), saving via
-    ``save_fn(path, output)`` to ``{out_dir}/{id}{suffix}``.
+    ``save_fn(path, output)``.
 
-    Existing outputs are skipped (resume); failures are logged and the run
-    continues so one bad prompt never loses a batch. Returns the list of
-    (id, path, status) triples.
+    Output names follow the reference convention
+    (`/root/reference/jenga_wan.py:1114-1119`): the id prefix keeps
+    existence-based resume deterministic, the rest stamps time/seed/
+    prompt-slug. Existing ``{id}_*`` outputs are skipped (resume);
+    failures are logged and the run continues so one bad prompt never
+    loses a batch. Returns the list of (id, path, status) triples.
     """
+    import glob as _glob
+
+    from .utils.logging import stamp_filename
+
     os.makedirs(out_dir, exist_ok=True)
     results = []
     for vid, prompt in items:
-        path = os.path.join(out_dir, f"{vid}{suffix}")
-        if skip_existing and os.path.exists(path):
+        path = os.path.join(out_dir, f"{vid}_" + stamp_filename(
+            prompt, 0 if seed is None else seed, ext=suffix.lstrip(".")))
+        done = (os.path.exists(os.path.join(out_dir, f"{vid}{suffix}"))
+                or _glob.glob(os.path.join(_glob.escape(out_dir),
+                                           f"{vid}_*{suffix}")))
+        if skip_existing and done:
             log(f"[{vid}] exists, skipping")
             results.append((vid, path, "skipped"))
             continue

@@ -94,6 +94,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "not given")
     i.add_argument("--lora-path", type=str, default=None,
                    help="kohya LoRA safetensors to merge into the DiT")
+    i.add_argument("--use-cpu-offload", action="store_true",
+                   help="keep VAE + text-encoder weights in host RAM "
+                        "(see hyvideo-t2v)")
 
     w = sub.add_parser("wan-t2v", help="Wan2.1 text-to-video")
     _common(w)
@@ -171,7 +174,7 @@ def _maybe_run_batch(args, generate_fn):
     suffix = ".npy" if args.latents_only else ".mp4"
     run_batch(items, generate_fn,
               lambda p, o: _save_output(p, o, args.latents_only),
-              args.out_dir, suffix=suffix)
+              args.out_dir, suffix=suffix, seed=args.seed)
     return True
 
 

@@ -37,11 +37,16 @@ def _partial_attn(q, k, v, scale, kv_len=None):
         kmask = (jnp.arange(k.shape[2])[None] < kv_len[:, None])
         logits = jnp.where(kmask[:, None, None], logits, -jnp.inf)
     m = jnp.max(logits, axis=-1)
-    p = jnp.exp(logits - m[..., None])
+    # a fully-masked chunk (kv_len == 0: e.g. an all-padding text mask)
+    # must contribute zero weight, not NaN: exp(-inf - -inf) would be NaN,
+    # so shift by a finite max and emit lse = -inf for the merge.
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    p = jnp.exp(logits - m_safe[..., None])
     l = jnp.sum(p, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
-    lse = m + jnp.log(l)
-    return out / l[..., None], lse
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    lse = jnp.where(l == 0.0, -jnp.inf, m_safe + jnp.log(l_safe))
+    return out / l_safe[..., None], lse
 
 
 def _merge(o1, lse1, o2, lse2):

@@ -80,10 +80,10 @@ class HunyuanVideoSampler:
         self.params = params
         # CPU offload (reference ``--use-cpu-offload``,
         # `/root/reference/hyvideo/inference.py:453-454`): VAE + text
-        # encoder weights stay in host RAM and their stages run on the CPU
-        # backend (computation follows the committed param placement),
-        # leaving HBM to the DiT. On 16GB v5e this is what makes the 13B
-        # DiT + encoders coexist.
+        # encoder weights stay in host RAM, leaving HBM to the DiT. Text
+        # encoding runs on the CPU backend (a 256-token prefill is cheap);
+        # the conv-heavy VAE decode streams its weights to the device per
+        # call instead (transient HBM, compute stays on the TPU).
         self.offload = offload_to_host
         if offload_to_host:
             cpu = jax.devices("cpu")[0]
@@ -332,14 +332,23 @@ class HunyuanVideoSampler:
 
     # ---------------------------------------------------------- vae
 
+    def _vae_params_for_compute(self):
+        """Under offload, stream the (host-resident) VAE weights to the
+        default device for the duration of one call — the copy is freed
+        with the last reference, so HBM cost is transient."""
+        if not self.offload:
+            return self.vae_params
+        dev = jax.devices()[0]
+        return jax.tree.map(lambda a: jax.device_put(a, dev),
+                            self.vae_params)
+
     def decode_latents(self, latents):
         """latents [C, T, h, w] -> video [C, F, H, W] in [-1, 1]."""
         if self.vae_params is None:
             return latents
         z = jnp.asarray(latents)[None] / self.vae_cfg.scaling_factor
-        if self.offload:
-            z = jax.device_put(z, jax.devices("cpu")[0])
-        video = vae_hy.vae_decode_tiled(self.vae_params, z, self.vae_cfg)
+        video = vae_hy.vae_decode_tiled(self._vae_params_for_compute(), z,
+                                        self.vae_cfg)
         return jnp.clip(video[0], -1.0, 1.0)
 
     def encode_image_latent(self, image, lat_h: int, lat_w: int):
@@ -349,7 +358,8 @@ class HunyuanVideoSampler:
             raise RuntimeError("no VAE loaded (ckpt_dir without vae/)")
         x = _resize_chw(np.asarray(image), lat_h * 8, lat_w * 8)
         x = (x * 2.0 - 1.0)[None, :, None]      # [1, 3, 1, H, W]
-        moments = vae_hy.vae_encode_tiled(self.vae_params, x, self.vae_cfg)
+        moments = vae_hy.vae_encode_tiled(self._vae_params_for_compute(), x,
+                                          self.vae_cfg)
         mean = vae_hy.gaussian_sample(moments)
         return mean[0] * self.vae_cfg.scaling_factor
 

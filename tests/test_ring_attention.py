@@ -117,3 +117,25 @@ def test_hy_forward_ring_joint_text_heads_lt_devices():
     out_single = hyvideo_forward(params, cfg, x, t, txt, tmask, txt2)
     np.testing.assert_allclose(np.asarray(out_mesh), np.asarray(out_single),
                                atol=3e-4, rtol=3e-4)
+
+
+def test_ring_zero_joint_keys_no_nan():
+    """A sample whose joint (text) mask is all padding must contribute
+    zero weight, not NaN (exp(-inf - -inf) guard in _partial_attn)."""
+    mesh = make_sp_mesh()
+    key = jax.random.PRNGKey(3)
+    q = jax.random.normal(key, (1, 32, 2, 8), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (1, 32, 2, 8),
+                          jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (1, 32, 2, 8),
+                          jnp.float32)
+    jk = jax.random.normal(jax.random.fold_in(key, 3), (1, 4, 2, 8),
+                           jnp.float32)
+    jv = jax.random.normal(jax.random.fold_in(key, 4), (1, 4, 2, 8),
+                           jnp.float32)
+    out = ring_attention(q, k, v, mesh, joint_k=jk, joint_v=jv,
+                         joint_kv_len=jnp.zeros((1,), jnp.int32))
+    assert np.isfinite(np.asarray(out)).all()
+    # zero valid joint keys == no joint chunk at all
+    ref = ring_attention(q, k, v, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

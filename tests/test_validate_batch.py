@@ -118,4 +118,7 @@ class TestRunBatch:
         assert results[0][2] == "skipped"
         assert results[1][2].startswith("error")
         assert results[2][2] == "ok"
-        assert os.path.exists(os.path.join(out_dir, "0003.npy"))
+        import glob
+        # new outputs carry the id_time_seed_prompt stamp (reference
+        # naming); the id prefix keeps resume deterministic
+        assert glob.glob(os.path.join(out_dir, "0003_*seed0*.npy"))
