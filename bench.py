@@ -18,7 +18,7 @@ real Jenga-Base schedule:
   * per-stage drop rates 0.75 / 0.85 with the stage split at step 25
     (`scripts/hyvideo_jenga_base.sh`), each stage timed separately,
   * the dense arm is the same forward with carving disabled, running
-    tile-tuned flash attention (105 TFLOP/s on v5e — see
+    tile-tuned flash attention (141 TFLOP/s at 115k on v5e — see
     `jenga_tpu/ops/flash_attention.py`), NOT a strawman.
 
 Weights are random (no checkpoints in this image), which makes pooled-QK

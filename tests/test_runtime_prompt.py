@@ -207,3 +207,29 @@ def test_hy_cpu_offload_encoders(hy_ckpt_dir, monkeypatch):
     hidden, mask, pooled = sampler.encode_prompt("a cat", mode="video")
     assert np.isfinite(np.asarray(hidden)).all()
     assert hidden.shape[0] == mask.shape[0]
+
+
+def test_hy_offload_vae_streams_to_device(hy_ckpt_dir, monkeypatch):
+    """Under offload the VAE weights live on host but decode streams them
+    to the default device (compute stays on the accelerator)."""
+    import jax
+    import jax.numpy as jnp
+    import jenga_tpu.runtime as rt
+    from jenga_tpu.codec import vae_hy
+
+    _stub_dit_init(monkeypatch)
+    monkeypatch.setattr(rt.HunyuanVideoSampler, "TEXT_LEN", 16)
+    small = vae_hy.HYVAEConfig(block_out_channels=(8, 16, 16, 16),
+                               norm_num_groups=4)
+    sampler = rt.HunyuanVideoSampler.from_pretrained(
+        hy_ckpt_dir, use_cpu_offload=True)
+    sampler.vae_params = jax.tree.map(
+        lambda a: jax.device_put(a, jax.devices("cpu")[0]),
+        vae_hy.init_hyvae_params(jax.random.PRNGKey(0), small))
+    sampler.vae_cfg = small
+    cpu = jax.devices("cpu")[0]
+    assert jax.tree_util.tree_leaves(sampler.vae_params)[0].devices() \
+        == {cpu}
+    lat = jnp.zeros((small.latent_channels, 2, 8, 8), jnp.float32)
+    video = sampler.decode_latents(lat)
+    assert video.shape[0] == 3 and np.isfinite(np.asarray(video)).all()
