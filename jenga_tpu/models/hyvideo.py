@@ -93,13 +93,17 @@ class HYCarve:
     p_remain: float
     text_amp: float = 0.0
     txt_block_num: int = 2
+    q_rows: int = 1     # >1: shared-gather kernel (q_rows query blocks
+                        # share one union block list — wins when selection
+                        # is local, i.e. with real checkpoints)
 
 
 jax.tree_util.register_dataclass(
     HYCarve,
     data_fields=["curve_order", "inverse_order", "block_neighbors",
                  "rope_cos", "rope_sin"],
-    meta_fields=["sa_drop_rate", "p_remain", "text_amp", "txt_block_num"])
+    meta_fields=["sa_drop_rate", "p_remain", "text_amp", "txt_block_num",
+                 "q_rows"])
 
 
 def hy_rope_tables(cfg: HYVideoConfig, grid: tuple[int, int, int],
@@ -116,7 +120,8 @@ def hy_rope_tables(cfg: HYVideoConfig, grid: tuple[int, int, int],
 def make_hy_carve(cfg: HYVideoConfig, plan, sa_drop_rate: float,
                   p_remain: float, text_amp: float = 0.0,
                   txt_block_num: int = 2,
-                  positions: tuple | None = None) -> HYCarve:
+                  positions: tuple | None = None,
+                  q_rows: int = 1) -> HYCarve:
     cos, sin = hy_rope_tables(cfg, plan.grid, order=plan.curve_order,
                               positions=positions)
     # device arrays: see make_wan_carve — avoids giant HLO literals.
@@ -126,7 +131,7 @@ def make_hy_carve(cfg: HYVideoConfig, plan, sa_drop_rate: float,
                    rope_cos=jnp.asarray(cos), rope_sin=jnp.asarray(sin),
                    sa_drop_rate=float(sa_drop_rate),
                    p_remain=float(p_remain), text_amp=float(text_amp),
-                   txt_block_num=int(txt_block_num))
+                   txt_block_num=int(txt_block_num), q_rows=int(q_rows))
 
 
 # --------------------------------------------------------------- params
@@ -373,6 +378,24 @@ def _joint_attention(q, k, v, cfg: HYVideoConfig, carve: HYCarve | None,
         block_neighbors=jnp.asarray(carve.block_neighbors))
     full = jnp.ones((b, n, num_blocks - tsb, num_blocks), bool)
     mask = jnp.concatenate([mask, full], axis=2)
+    qr = max(1, int(carve.q_rows))
+    if qr > 1:
+        # shared-gather mode: pad query rows to a q_rows multiple with
+        # empty rows (zero outputs, sliced off); keys are unpadded
+        from ..sparse.planner import pack_block_lists_grouped
+        nb_pad = -(-num_blocks // qr) * qr
+        if nb_pad != num_blocks:
+            mask = jnp.pad(mask,
+                           ((0, 0), (0, 0), (0, nb_pad - num_blocks),
+                            (0, 0)))
+            qt = jnp.pad(qt, ((0, 0), (0, 0),
+                              (0, (nb_pad - num_blocks) * 128), (0, 0)))
+        glists = pack_block_lists_grouped(mask, qr, seqlens=seqlen)
+        from ..ops.block_sparse_attention import             block_sparse_attention_grouped
+        out = block_sparse_attention_grouped(
+            qt, kt, vt, glists, q_rows=qr, text_start_block=tsb,
+            text_amp=carve.text_amp)
+        return out.transpose(0, 2, 1, 3)[:, :s].reshape(b, s, n * hd)
     lists = pack_block_lists(*mask_to_block_lists(mask), seqlens=seqlen)
     out = block_sparse_attention(
         qt, kt, vt, lists, text_start_block=tsb,

@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 _LOG2E = 1.4426950408889634
 DEFAULT_BLOCK = 128
 
-__all__ = ["block_sparse_attention"]
+__all__ = ["block_sparse_attention", "block_sparse_attention_grouped"]
 
 
 def _kernel(
@@ -344,6 +344,287 @@ def block_sparse_attention(
         ],
         # both dims "arbitrary": the cross-row prefetch pipeline (SMEM/VMEM
         # scratch carried between grid steps) requires sequential order.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kvf, lists_flat)
+    return out.reshape(b, h, s, d)
+
+
+# ------------------------------------------------------- shared-gather mode
+
+def _kernel_grouped(
+    q_ref,          # VMEM (1, q_rows*block_m, d)
+    kv_hbm,         # ANY  (bh, skv, 2*d) packed K|V
+    lists_hbm,      # ANY  (bh*ngr*2*row,) int32 grouped rows
+    o_ref,          # VMEM (1, q_rows*block_m, d)
+    idx_smem,       # SMEM (2 * 2*row,) int32 — double-buffered rows
+    kv_buf,         # VMEM (4, group*block_n, 2*d)
+    list_sems,      # DMA sems (2,)
+    kv_sems,        # DMA sems (4, group)
+    *,
+    sm_scale: float,
+    text_amp: float,
+    text_start_block: int,
+    block_m: int,
+    block_n: int,
+    row_size: int,          # ids-half stride; full row = 2*row_size
+    group: int,
+    q_rows: int,
+):
+    """Shared-gather variant: ``q_rows`` query blocks per grid step share
+    one union block list (see planner.pack_block_lists_grouped); each
+    row masks non-member columns to -inf, so outputs are bit-comparable
+    with the per-row kernel. DMA pipeline mirrors `_kernel` (2-deep
+    within-row rotation over slots {0,1,3}, cross-step group-0 in slot
+    2), with the list DMA amortized over ``q_rows`` outputs."""
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    ngr = pl.num_programs(1)
+    total = pl.num_programs(0) * ngr
+    d = q_ref.shape[-1]
+    gn = group * block_n
+    stride = 2 * row_size
+    step = bh * ngr + qi
+    parity = jax.lax.rem(step, 2)
+
+    def idx_dma(row_step, slot):
+        return pltpu.make_async_copy(
+            lists_hbm.at[pl.ds(row_step * stride, stride)],
+            idx_smem.at[pl.ds(slot * stride, stride)],
+            list_sems.at[slot])
+
+    def blk_of(islot, j, g):
+        base = islot * stride
+        n_ = idx_smem[base]
+        pos = j * group + g
+        return idx_smem[base + 2 + jnp.where(pos < n_, pos, 0)]
+
+    def memb_of(islot, j, g):
+        base = islot * stride
+        n_ = idx_smem[base]
+        pos = j * group + g
+        return idx_smem[base + row_size + 2
+                        + jnp.where(pos < n_, pos, 0)]
+
+    def group_copies(islot, bh_, j, slot):
+        return [
+            pltpu.make_async_copy(
+                kv_hbm.at[bh_, pl.ds(blk_of(islot, j, g) * block_n,
+                                     block_n)],
+                kv_buf.at[slot, pl.ds(g * block_n, block_n)],
+                kv_sems.at[slot, g])
+            for g in range(group)
+        ]
+
+    def _guard(islot, j, g, fn):
+        base = islot * stride
+        n_ = idx_smem[base]
+
+        @pl.when(j * group + g < n_)
+        def _():
+            fn()
+
+    def start_group(islot, bh_, j, slot):
+        for g, c in enumerate(group_copies(islot, bh_, j, slot)):
+            _guard(islot, j, g, c.start)
+
+    def wait_group(islot, bh_, j, slot):
+        for g, c in enumerate(group_copies(islot, bh_, j, slot)):
+            _guard(islot, j, g, c.wait)
+
+    @pl.when(step == 0)
+    def _():
+        kv_buf[...] = jnp.zeros(kv_buf.shape, kv_buf.dtype)
+        idx_dma(0, 0).start()
+        idx_dma(0, 0).wait()
+        start_group(0, bh, 0, 2)
+
+    n = idx_smem[parity * stride]
+    seqlen = idx_smem[parity * stride + 1]
+    n_groups = (n + group - 1) // group
+
+    @pl.when(step + 1 < total)
+    def _():
+        idx_dma(step + 1, 1 - parity).start()
+
+    q_all = q_ref[0].astype(jnp.float32) * (sm_scale * _LOG2E)
+    q_all = q_all.astype(kv_buf.dtype)
+
+    neg_inf = jnp.float32(-1e30)
+    m0 = jnp.full((q_rows, block_m, 128), neg_inf, jnp.float32)
+    l0 = jnp.zeros((q_rows, block_m, 128), jnp.float32)
+    acc0 = jnp.zeros((q_rows, block_m, d), jnp.float32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, gn), 1)
+    lane = jax.lax.rem(col, block_n)
+
+    def compute_group(j, slot, carry):
+        m_prev, l_prev, acc = carry
+        wait_group(parity, bh, j, slot)
+
+        kb = kv_buf[slot, :, :d]
+        vb = kv_buf[slot, :, d:]
+        blk_ids = [blk_of(parity, j, g) for g in range(group)]
+        memb_ids = [memb_of(parity, j, g) for g in range(group)]
+        seg = col // block_n
+        blk_col = jnp.zeros((1, gn), jnp.int32)
+        memb_col = jnp.zeros((1, gn), jnp.int32)
+        for g in range(group):
+            blk_col = jnp.where(seg == g, blk_ids[g], blk_col)
+            memb_col = jnp.where(seg == g, memb_ids[g], memb_col)
+        in_list = (j * group + seg) < n
+        in_seq = blk_col * block_n + lane < seqlen
+
+        m_out, l_out, acc_out = [], [], []
+        for r in range(q_rows):
+            qr = q_all[r * block_m:(r + 1) * block_m]
+            qk = jax.lax.dot_general(
+                qr, kb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            member = (memb_col >> r) & 1 == 1
+            valid = in_list & in_seq & member
+            if text_amp != 0.0:
+                amp_on = jnp.logical_and(
+                    qi * q_rows + r < text_start_block,
+                    blk_col >= text_start_block)
+                qk = qk + jnp.where(amp_on, jnp.float32(text_amp), 0.0)
+            qk = jnp.where(valid, qk, neg_inf)
+            m_cur = jnp.max(qk, axis=-1, keepdims=True)
+            m_next = jnp.maximum(m_prev[r], m_cur)
+            alpha = jnp.exp2(m_prev[r] - m_next)
+            p = jnp.exp2(qk - m_next[:, :1])
+            l_next = l_prev[r] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            a_next = acc[r] * alpha[:, :1] + jax.lax.dot_general(
+                p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_out.append(m_next)
+            l_out.append(l_next)
+            acc_out.append(a_next)
+        return (jnp.stack(m_out), jnp.stack(l_out), jnp.stack(acc_out))
+
+    def wslot(j):
+        m_ = jax.lax.rem(j - 1, 3)
+        return m_ + jnp.where(m_ == 2, 1, 0)
+
+    @pl.when(n_groups > 1)
+    def _():
+        start_group(parity, bh, 1, wslot(1))
+    carry = compute_group(0, 2, (m0, l0, acc0))
+
+    @pl.when(n_groups > 2)
+    def _():
+        start_group(parity, bh, 2, wslot(2))
+
+    @pl.when(step + 1 < total)
+    def _():
+        idx_dma(step + 1, 1 - parity).wait()
+        next_bh = (step + 1) // ngr
+        start_group(1 - parity, next_bh, 0, 2)
+
+    def body(j, carry):
+        @pl.when(j + 2 < n_groups)
+        def _():
+            start_group(parity, bh, j + 2, wslot(j + 2))
+
+        return compute_group(j, wslot(j), carry)
+
+    m, l, acc = jax.lax.fori_loop(1, n_groups, body, carry)
+    for r in range(q_rows):
+        l_safe = jnp.where(l[r, :, :1] == 0.0, 1.0, l[r, :, :1])
+        o_ref[0, r * block_m:(r + 1) * block_m] = (
+            acc[r] / l_safe).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("q_rows", "sm_scale", "text_amp", "text_start_block",
+                     "block_n", "group", "interpret"))
+def block_sparse_attention_grouped(
+    q: jax.Array,            # [B, H, S, D], S a multiple of q_rows*128
+    k: jax.Array,
+    v: jax.Array,
+    block_lists: jax.Array,  # [B, H, S//(q_rows*128), 2*row] grouped layout
+    *,
+    q_rows: int,
+    sm_scale: float | None = None,
+    text_amp: float = 0.0,
+    text_start_block: int = 0,
+    block_n: int = DEFAULT_BLOCK,
+    group: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Shared-gather block-sparse attention: ``q_rows`` query blocks per
+    grid step share one union block list (planner
+    ``pack_block_lists_grouped``). Exact same outputs as the per-row
+    kernel; the win is HBM traffic when adjacent rows' selections
+    overlap (production-local attention)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if not 1 <= q_rows <= 4:
+        # q_rows=4 already brings the union within ~1% of the per-row
+        # density under local selection; 8 blows Mosaic's compile (v5e)
+        raise ValueError(f"q_rows must be in [1, 4], got {q_rows}")
+    if group is None:
+        group = max(4, 2048 // max(q.shape[-1], 128))
+    b, h, s, d = q.shape
+    skv = k.shape[2]
+    block_m = DEFAULT_BLOCK
+    if s % (block_m * q_rows) or skv % block_n:
+        raise ValueError(f"seq must divide q_rows*block ({q_rows}*128), "
+                         f"got {s=} {skv=}")
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    if d % 128:
+        d_pad = -(-d // 128) * 128 - d
+        padcfg = ((0, 0), (0, 0), (0, 0), (0, d_pad))
+        out = block_sparse_attention_grouped(
+            jnp.pad(q, padcfg), jnp.pad(k, padcfg), jnp.pad(v, padcfg),
+            block_lists, q_rows=q_rows, sm_scale=sm_scale,
+            text_amp=text_amp, text_start_block=text_start_block,
+            block_n=block_n, group=group, interpret=interpret)
+        return out[..., :d]
+    ngr = s // (block_m * q_rows)
+    stride = block_lists.shape[-1]
+    row_size = stride // 2
+    if row_size % 1024:
+        raise ValueError(f"packed row half must be 1024-aligned, got "
+                         f"{row_size}")
+
+    bh = b * h
+    qf = q.reshape(bh, s, d)
+    kvf = jnp.concatenate([k.reshape(bh, skv, d), v.reshape(bh, skv, d)],
+                          axis=-1)
+    lists_flat = block_lists.reshape(bh * ngr * stride)
+
+    kernel = functools.partial(
+        _kernel_grouped,
+        sm_scale=float(sm_scale), text_amp=float(text_amp),
+        text_start_block=int(text_start_block),
+        block_m=block_m, block_n=block_n, row_size=row_size,
+        group=int(group), q_rows=int(q_rows))
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+        grid=(bh, ngr),
+        in_specs=[
+            pl.BlockSpec((1, q_rows * block_m, d),
+                         lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, q_rows * block_m, d),
+                               lambda bi, qi: (bi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((2 * stride,), jnp.int32),
+            pltpu.VMEM((4, group * block_n, 2 * d), k.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4, group)),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),

@@ -56,6 +56,9 @@ class HYT2VOptions:
     non_skip_steps: tuple[int, ...] = HYVIDEO_NON_SKIP_STEPS
     curve: str = "gilbert"
     seed: int = 0
+    q_group: int = 1    # >1: shared-gather attention kernel (union block
+                        # list per q_group query blocks; wins with real
+                        # checkpoints whose attention is local)
 
 
 class HYVideoT2VPipeline:
@@ -165,7 +168,7 @@ class HYVideoT2VPipeline:
                 cfg, plan, opts.sa_drop_rates[min(si, len(
                     opts.sa_drop_rates) - 1)],
                 opts.p_remain, text_amp=text_amp,
-                txt_block_num=opts.txt_block_num)
+                txt_block_num=opts.txt_block_num, q_rows=opts.q_group)
             stage_data.append((lat, grid, carve,
                                self._stage_fns(carve, batch)))
 

@@ -194,3 +194,52 @@ def plan_block_sparsity(
     indices, counts = mask_to_block_lists(mask)
     return mask, pack_block_lists(indices, counts, seqlens=seqlens,
                                   block_size=block_size)
+
+
+def pack_block_lists_grouped(mask: jax.Array, group_q: int,
+                             seqlens=None, block_size: int = 128):
+    """Shared-gather encoding: one block list per GROUP of ``group_q``
+    query rows, plus per-block membership bitmasks.
+
+    Production checkpoints have spatio-temporally local attention, so
+    adjacent hilbert-ordered query rows select heavily overlapping block
+    sets; gathering the UNION once per group cuts the kernel's HBM
+    traffic by up to ``group_q``x (the uniform-random regime of the
+    synthetic benches shows little overlap and does not reward this —
+    see tools/grouped_kernel_bench.py for the local-selection numbers).
+
+    Returns int32 ``[B, H, Qb/group_q, 2*packed_row_size(nkb)]``: the
+    first half is the standard row layout (count, seqlen, ascending
+    union block ids); the second half carries, at the same offsets as
+    the ids, a ``group_q``-bit membership word per id (bit g set = query
+    row g of the group selected that block). Exact semantics are
+    preserved: the kernel masks non-member columns per row to -inf.
+    """
+    b, h, nqb, nkb = mask.shape
+    if nqb % group_q:
+        raise ValueError(f"query blocks ({nqb}) must divide into groups "
+                         f"of {group_q}")
+    if group_q > 8:
+        raise ValueError("membership words hold at most 8 rows per group")
+    g = mask.reshape(b, h, nqb // group_q, group_q, nkb)
+    union = jnp.any(g, axis=3)
+    weights = (1 << jnp.arange(group_q, dtype=jnp.int32))[None, None, None,
+                                                          :, None]
+    memb = jnp.sum(g.astype(jnp.int32) * weights, axis=3)   # [..., nkb]
+
+    cols = jnp.arange(nkb, dtype=jnp.int32)
+    keys = jnp.where(union, cols, cols + nkb)
+    order = jnp.argsort(keys, axis=-1)
+    ids = jnp.take_along_axis(jnp.broadcast_to(
+        cols, keys.shape), order, axis=-1)
+    membs = jnp.take_along_axis(memb, order, axis=-1)
+    counts = jnp.sum(union, axis=-1, dtype=jnp.int32)
+
+    ids_packed = pack_block_lists(ids, counts, seqlens=seqlens,
+                                  block_size=block_size)
+    row = ids_packed.shape[-1]
+    memb_packed = jnp.concatenate(
+        [jnp.zeros((*membs.shape[:-1], 2), jnp.int32), membs,
+         jnp.zeros((*membs.shape[:-1], row - 2 - nkb), jnp.int32)],
+        axis=-1)
+    return jnp.concatenate([ids_packed, memb_packed], axis=-1)

@@ -173,3 +173,20 @@ def test_padded_text_keys_masked(setup):
         a = img_out(txt, carve)
         b = img_out(garbage, carve)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_shared_gather_q_rows_matches_per_row(setup):
+    """carve.q_rows>1 (shared-gather kernel) must match the per-row path:
+    same mask, same math, only the gather is shared."""
+    params, x, t, txt, mask, txt2 = setup
+    plan = build_curve_plan((2, 4, 6), "gilbert", 128)
+
+    def run(q_rows):
+        carve = make_hy_carve(TINY, plan, sa_drop_rate=0.5, p_remain=0.5,
+                              txt_block_num=1, q_rows=q_rows)
+        img, txth, aux = hyvideo_embed(params, TINY, x, t, txt, mask,
+                                       txt2, carve)
+        return hyvideo_trunk(params, TINY, img, txth, aux, carve)
+
+    np.testing.assert_allclose(np.asarray(run(1)), np.asarray(run(2)),
+                               atol=2e-5, rtol=2e-5)

@@ -203,3 +203,44 @@ class TestKernelVsReference:
             out, ref = self._run(1, 2, 4, d, jnp.float32)
             assert out.shape[-1] == d
             np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+class TestGroupedKernel:
+    """Shared-gather mode must be output-equivalent to the per-row kernel
+    (same mask, union lists + membership bits)."""
+
+    def _case(self, q_rows, text_amp=0.0, tsb=None, seqlen=None):
+        from jenga_tpu.ops.block_sparse_attention import (
+            block_sparse_attention, block_sparse_attention_grouped)
+        from jenga_tpu.sparse.planner import (
+            mask_to_block_lists, pack_block_lists, pack_block_lists_grouped)
+
+        key = jax.random.PRNGKey(11)
+        b, h, s, d = 1, 2, 2048, 128
+        nb = s // 128
+        tsb = nb if tsb is None else tsb
+        kq, kk, kv, km = jax.random.split(key, 4)
+        q = jax.random.normal(kq, (b, h, s, d), jnp.float32)
+        k = jax.random.normal(kk, (b, h, s, d), jnp.float32)
+        v = jax.random.normal(kv, (b, h, s, d), jnp.float32)
+        mask = jax.random.uniform(km, (b, h, nb, nb)) < 0.35
+        mask = mask.at[:, :, jnp.arange(nb), jnp.arange(nb)].set(True)
+        if tsb < nb:
+            mask = mask.at[..., tsb:].set(True)
+            mask = mask.at[:, :, tsb:].set(True)
+        lists = pack_block_lists(*mask_to_block_lists(mask),
+                                 seqlens=seqlen)
+        glists = pack_block_lists_grouped(mask, q_rows, seqlens=seqlen)
+        ref = block_sparse_attention(q, k, v, lists, text_amp=text_amp,
+                                     text_start_block=tsb)
+        out = block_sparse_attention_grouped(
+            q, k, v, glists, q_rows=q_rows, text_amp=text_amp,
+            text_start_block=tsb)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5, rtol=3e-5)
+
+    def test_group2(self):
+        self._case(2)
+
+    def test_group4_text_amp_seqlen(self):
+        self._case(4, text_amp=1.5, tsb=14, seqlen=2048 - 57)
