@@ -372,6 +372,8 @@ def run_wan_t2v(args):
         over["curve"] = args.curve_type
     if args.sample_shift is not None:
         over["shift"] = args.sample_shift
+    if args.q_group and args.q_group > 1:
+        over["q_group"] = args.q_group
     if args.enable_turbo:
         over["enable_turbo"] = True
     if args.teacache_thresh is not None:

@@ -98,6 +98,9 @@ class WanCarve:
     p_remain: float
     first_frame_blocks: int
     seqlen: int                     # real (unpadded) token count
+    q_rows: int = 1                 # >1: shared-gather kernel (union list
+                                    # per q_rows query blocks; wins with
+                                    # real checkpoints' local attention)
 
 
 jax.tree_util.register_dataclass(
@@ -105,7 +108,7 @@ jax.tree_util.register_dataclass(
     data_fields=["curve_order", "inverse_order", "block_neighbors",
                  "rope_cos", "rope_sin"],
     meta_fields=["sa_drop_rate", "p_remain", "first_frame_blocks",
-                 "seqlen"])
+                 "seqlen", "q_rows"])
 
 
 def wan_rope_tables(cfg: WanConfig, grid: tuple[int, int, int],
@@ -124,7 +127,7 @@ def wan_rope_tables(cfg: WanConfig, grid: tuple[int, int, int],
 
 
 def make_wan_carve(cfg: WanConfig, plan, sa_drop_rate: float,
-                   p_remain: float) -> WanCarve:
+                   p_remain: float, q_rows: int = 1) -> WanCarve:
     """Assemble the per-stage carving spec from a ``CurvePlan``.
 
     ``first_frame_blocks = num_blocks // 21`` keeps the first-frame blocks
@@ -145,7 +148,8 @@ def make_wan_carve(cfg: WanConfig, plan, sa_drop_rate: float,
         rope_cos=jnp.asarray(cos), rope_sin=jnp.asarray(sin),
         sa_drop_rate=float(sa_drop_rate), p_remain=float(p_remain),
         first_frame_blocks=num_blocks // 21,
-        seqlen=s)
+        seqlen=s,
+        q_rows=int(q_rows))
 
 
 def _linear_init(key, d_in, d_out, dtype, scale=None, zero=False, bias=True):
@@ -300,11 +304,30 @@ def _self_attention(p, x, cfg: WanConfig, carve: WanCarve | None,
             text_start_block=num_blocks, text_blocks=0,
             block_neighbors=carve.block_neighbors,
             first_frame_blocks=carve.first_frame_blocks)
-        lists = pack_block_lists(*mask_to_block_lists(mask),
-                                 seqlens=carve.seqlen)
-        out = block_sparse_attention(
-            qt, kt, vt, lists,
-            text_start_block=num_blocks).transpose(0, 2, 1, 3)
+        qr = max(1, int(getattr(carve, "q_rows", 1)))
+        if qr > 1:
+            from ..sparse.planner import pack_block_lists_grouped
+            from ..ops.block_sparse_attention import \
+                block_sparse_attention_grouped
+            nb_pad = -(-num_blocks // qr) * qr
+            if nb_pad != num_blocks:
+                mask = jnp.pad(mask, ((0, 0), (0, 0),
+                                      (0, nb_pad - num_blocks), (0, 0)))
+                qt = jnp.pad(qt, ((0, 0), (0, 0),
+                                  (0, (nb_pad - num_blocks) * 128),
+                                  (0, 0)))
+            glists = pack_block_lists_grouped(mask, qr,
+                                              seqlens=carve.seqlen)
+            out = block_sparse_attention_grouped(
+                qt, kt, vt, glists, q_rows=qr,
+                text_start_block=num_blocks)[:, :, :s]
+            out = out.transpose(0, 2, 1, 3)
+        else:
+            lists = pack_block_lists(*mask_to_block_lists(mask),
+                                     seqlens=carve.seqlen)
+            out = block_sparse_attention(
+                qt, kt, vt, lists,
+                text_start_block=num_blocks).transpose(0, 2, 1, 3)
     return L.linear(p["o"], out.reshape(b, s, d))
 
 

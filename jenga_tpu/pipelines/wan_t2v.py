@@ -71,6 +71,7 @@ class WanT2VOptions:
     solver: str = "unipc"       # unipc | dpm++
     curve: str = "sliced"
     seed: int = 0
+    q_group: int = 1    # >1: shared-gather attention (see HYT2VOptions)
 
 
 class WanT2VPipeline:
@@ -223,7 +224,8 @@ class WanT2VPipeline:
             grid = self._token_grid((c,) + shape)
             plan = build_curve_plan(grid, opts.curve, 128)
             carve = wan_lib.make_wan_carve(cfg, plan, opts.sa_drop_rates[0],
-                                           opts.p_remain)
+                                           opts.p_remain,
+                                           q_rows=opts.q_group)
             return carve, self._stage_fns(carve)
 
         carve0, fns0 = stage_setup((f, lh0, lw0))

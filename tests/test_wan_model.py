@@ -111,3 +111,20 @@ def test_i2v_variant_runs():
     out = wan_forward(params, cfg, x, jnp.array([10.0]), ctx,
                       clip_fea=clip_fea, y=y)
     assert out.shape == (1, cfg.out_dim, f, h, w)
+
+
+def test_shared_gather_q_rows_matches_per_row(setup):
+    """WanCarve.q_rows>1 routes through the shared-gather kernel; outputs
+    must match the per-row path (same mask, shared union gather)."""
+    params, x, t, ctx = setup
+    f, h, w = GRID_IN
+    token_grid = (f, h // 2, w // 2)
+    plan = build_curve_plan(token_grid, "sliced", 128)
+
+    def run(q_rows):
+        carve = make_wan_carve(TINY, plan, sa_drop_rate=0.5, p_remain=0.9,
+                               q_rows=q_rows)
+        return wan_forward(params, TINY, x, t, ctx, carve=carve)
+
+    np.testing.assert_allclose(np.asarray(run(1)), np.asarray(run(2)),
+                               atol=2e-5, rtol=2e-5)
