@@ -69,12 +69,17 @@ def run_batch(items, generate_fn, save_fn, out_dir: str,
     for vid, prompt in items:
         path = os.path.join(out_dir, f"{vid}_" + stamp_filename(
             prompt, 0 if seed is None else seed, ext=suffix.lstrip(".")))
-        done = (os.path.exists(os.path.join(out_dir, f"{vid}{suffix}"))
-                or _glob.glob(os.path.join(_glob.escape(out_dir),
-                                           f"{vid}_*{suffix}")))
+        legacy = os.path.join(out_dir, f"{vid}{suffix}")
+        # ids come from arbitrary JSON: escape them so glob metacharacters
+        # can't false-match another id or miss this one
+        stamped = _glob.glob(os.path.join(
+            _glob.escape(out_dir), _glob.escape(f"{vid}_") + f"*{suffix}"))
+        done = ([legacy] if os.path.exists(legacy) else []) + stamped
         if skip_existing and done:
             log(f"[{vid}] exists, skipping")
-            results.append((vid, path, "skipped"))
+            # return the on-disk path that triggered the skip, not the
+            # would-be freshly stamped name (which does not exist)
+            results.append((vid, done[0], "skipped"))
             continue
         try:
             out = generate_fn(prompt)

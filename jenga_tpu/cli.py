@@ -284,6 +284,8 @@ def run_hyvideo_i2v(args):
         over["sa_drop_rates"] = tuple(args.sa_drop_rates)
     if args.p_remain_rates is not None:
         over["p_remain"] = args.p_remain_rates
+    if args.q_group and args.q_group > 1:
+        over["q_group"] = args.q_group
     import dataclasses as _dc
     base = get_hy_preset(args.preset)
     i2v_fields = {f.name for f in _dc.fields(HYI2VOptions)}
@@ -429,6 +431,8 @@ def run_wan_i2v(args):
     from .pipelines.wan_i2v import WanI2VOptions, i2v_latent_size
 
     over = {"seed": args.seed, "max_area": args.max_area}
+    if args.q_group and args.q_group > 1:
+        over["q_group"] = args.q_group
     if args.infer_steps:
         over["sampling_steps"] = args.infer_steps
     if args.video_length:

@@ -359,6 +359,11 @@ def _joint_attention(q, k, v, cfg: HYVideoConfig, carve: HYCarve | None,
         top_k = int((1.0 - carve.sa_drop_rate) * (img_len // 128))
 
     if mesh is not None:
+        if getattr(carve, "q_rows", 1) > 1:
+            raise ValueError(
+                "q_rows > 1 (shared-gather attention) is not supported "
+                "under sequence parallelism yet — drop --q-group or the "
+                "mesh; failing loudly beats silently ignoring the flag")
         # RoPE is already applied (HY rotates img q/k pre-concat), so no
         # tables are passed into the Ulysses island.
         out = ulysses_self_attention(
@@ -380,21 +385,10 @@ def _joint_attention(q, k, v, cfg: HYVideoConfig, carve: HYCarve | None,
     mask = jnp.concatenate([mask, full], axis=2)
     qr = max(1, int(carve.q_rows))
     if qr > 1:
-        # shared-gather mode: pad query rows to a q_rows multiple with
-        # empty rows (zero outputs, sliced off); keys are unpadded
-        from ..sparse.planner import pack_block_lists_grouped
-        nb_pad = -(-num_blocks // qr) * qr
-        if nb_pad != num_blocks:
-            mask = jnp.pad(mask,
-                           ((0, 0), (0, 0), (0, nb_pad - num_blocks),
-                            (0, 0)))
-            qt = jnp.pad(qt, ((0, 0), (0, 0),
-                              (0, (nb_pad - num_blocks) * 128), (0, 0)))
-        glists = pack_block_lists_grouped(mask, qr, seqlens=seqlen)
-        from ..ops.block_sparse_attention import             block_sparse_attention_grouped
-        out = block_sparse_attention_grouped(
-            qt, kt, vt, glists, q_rows=qr, text_start_block=tsb,
-            text_amp=carve.text_amp)
+        from ..ops.block_sparse_attention import grouped_attention_from_mask
+        out = grouped_attention_from_mask(
+            qt, kt, vt, mask, q_rows=qr, seqlens=seqlen,
+            text_start_block=tsb, text_amp=carve.text_amp)
         return out.transpose(0, 2, 1, 3)[:, :s].reshape(b, s, n * hd)
     lists = pack_block_lists(*mask_to_block_lists(mask), seqlens=seqlen)
     out = block_sparse_attention(

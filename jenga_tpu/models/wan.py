@@ -270,6 +270,11 @@ def _self_attention(p, x, cfg: WanConfig, carve: WanCarve | None,
             k = L.apply_rope(k, rope_cos, rope_sin)
             out = ring_attention(q, k, v, mesh)
             return L.linear(p["o"], out.reshape(b, s, d))
+        if sparse and getattr(carve, "q_rows", 1) > 1:
+            raise ValueError(
+                "q_rows > 1 (shared-gather attention) is not supported "
+                "under sequence parallelism yet — drop --q-group or the "
+                "mesh; failing loudly beats silently ignoring the flag")
         if sparse and top_k is None:
             nb = s // 128
             top_k = int(nb * (1.0 - carve.sa_drop_rate))
@@ -306,21 +311,11 @@ def _self_attention(p, x, cfg: WanConfig, carve: WanCarve | None,
             first_frame_blocks=carve.first_frame_blocks)
         qr = max(1, int(getattr(carve, "q_rows", 1)))
         if qr > 1:
-            from ..sparse.planner import pack_block_lists_grouped
             from ..ops.block_sparse_attention import \
-                block_sparse_attention_grouped
-            nb_pad = -(-num_blocks // qr) * qr
-            if nb_pad != num_blocks:
-                mask = jnp.pad(mask, ((0, 0), (0, 0),
-                                      (0, nb_pad - num_blocks), (0, 0)))
-                qt = jnp.pad(qt, ((0, 0), (0, 0),
-                                  (0, (nb_pad - num_blocks) * 128),
-                                  (0, 0)))
-            glists = pack_block_lists_grouped(mask, qr,
-                                              seqlens=carve.seqlen)
-            out = block_sparse_attention_grouped(
-                qt, kt, vt, glists, q_rows=qr,
-                text_start_block=num_blocks)[:, :, :s]
+                grouped_attention_from_mask
+            out = grouped_attention_from_mask(
+                qt, kt, vt, mask, q_rows=qr, seqlens=carve.seqlen,
+                text_start_block=num_blocks)
             out = out.transpose(0, 2, 1, 3)
         else:
             lists = pack_block_lists(*mask_to_block_lists(mask),

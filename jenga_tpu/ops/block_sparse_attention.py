@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 _LOG2E = 1.4426950408889634
 DEFAULT_BLOCK = 128
 
-__all__ = ["block_sparse_attention", "block_sparse_attention_grouped"]
+__all__ = ["block_sparse_attention", "block_sparse_attention_grouped", "grouped_attention_from_mask"]
 
 
 def _kernel(
@@ -631,3 +631,28 @@ def block_sparse_attention_grouped(
         interpret=interpret,
     )(qf, kvf, lists_flat)
     return out.reshape(b, h, s, d)
+
+
+def grouped_attention_from_mask(qt, kt, vt, mask, *, q_rows: int,
+                                seqlens=None, text_start_block: int = 0,
+                                text_amp: float = 0.0):
+    """Model-side helper for the shared-gather mode: ceil-pad the query
+    rows of ``mask``/``qt`` to a ``q_rows`` multiple (empty rows give
+    zero outputs, sliced off), pack the grouped union lists, run the
+    grouped kernel, and slice back to the original length. One home for
+    the pad/pack/call/slice sequence so the HY and Wan callers cannot
+    drift."""
+    from ..sparse.planner import pack_block_lists_grouped
+
+    s = qt.shape[2]
+    nqb = mask.shape[2]
+    nb_pad = -(-nqb // q_rows) * q_rows
+    if nb_pad != nqb:
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, nb_pad - nqb), (0, 0)))
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, (nb_pad - nqb) * 128),
+                          (0, 0)))
+    glists = pack_block_lists_grouped(mask, q_rows, seqlens=seqlens)
+    out = block_sparse_attention_grouped(
+        qt, kt, vt, glists, q_rows=q_rows,
+        text_start_block=text_start_block, text_amp=text_amp)
+    return out[:, :, :s]

@@ -338,9 +338,9 @@ class HunyuanVideoSampler:
         with the last reference, so HBM cost is transient."""
         if not self.offload:
             return self.vae_params
-        dev = jax.devices()[0]
-        return jax.tree.map(lambda a: jax.device_put(a, dev),
-                            self.vae_params)
+        # one batched transfer for the whole tree (per-leaf puts issue
+        # hundreds of serial host->HBM copies)
+        return jax.device_put(self.vae_params, jax.devices()[0])
 
     def decode_latents(self, latents):
         """latents [C, T, h, w] -> video [C, F, H, W] in [-1, 1]."""

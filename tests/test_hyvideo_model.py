@@ -175,11 +175,26 @@ def test_padded_text_keys_masked(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
-def test_shared_gather_q_rows_matches_per_row(setup):
-    """carve.q_rows>1 (shared-gather kernel) must match the per-row path:
-    same mask, same math, only the gather is shared."""
-    params, x, t, txt, mask, txt2 = setup
-    plan = build_curve_plan((2, 4, 6), "gilbert", 128)
+def test_shared_gather_q_rows_matches_per_row():
+    """carve.q_rows>1 (shared-gather kernel) must match the per-row path.
+
+    Needs a sequence long enough that the SPARSE branch actually runs
+    (the module fixture's 48+8 tokens pad to ONE block and take the dense
+    fallback, which would make this test vacuous): (4,10,15) grid = 600
+    img + 8 txt tokens -> 5 blocks, and q_rows=2 also exercises the
+    odd-row-count padding (5 -> 6)."""
+    key = jax.random.PRNGKey(4)
+    params = init_hyvideo_params(key, TINY)
+    lat = (4, 20, 30)
+    x = jax.random.normal(jax.random.fold_in(key, 1),
+                          (1, TINY.in_channels, *lat), jnp.float32)
+    t = jnp.array([500.0])
+    txt = jax.random.normal(jax.random.fold_in(key, 2),
+                            (1, TXT_LEN, TINY.text_states_dim), jnp.float32)
+    mask = jnp.ones((1, TXT_LEN), jnp.int32)
+    txt2 = jax.random.normal(jax.random.fold_in(key, 3),
+                             (1, TINY.text_states_dim_2), jnp.float32)
+    plan = build_curve_plan((4, 10, 15), "gilbert", 128)
 
     def run(q_rows):
         carve = make_hy_carve(TINY, plan, sa_drop_rate=0.5, p_remain=0.5,
@@ -188,5 +203,6 @@ def test_shared_gather_q_rows_matches_per_row(setup):
                                        txt2, carve)
         return hyvideo_trunk(params, TINY, img, txth, aux, carve)
 
-    np.testing.assert_allclose(np.asarray(run(1)), np.asarray(run(2)),
-                               atol=2e-5, rtol=2e-5)
+    a, b = np.asarray(run(1)), np.asarray(run(2))
+    assert np.abs(a).max() > 0          # non-degenerate activations
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)

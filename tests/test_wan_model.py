@@ -113,18 +113,31 @@ def test_i2v_variant_runs():
     assert out.shape == (1, cfg.out_dim, f, h, w)
 
 
-def test_shared_gather_q_rows_matches_per_row(setup):
-    """WanCarve.q_rows>1 routes through the shared-gather kernel; outputs
-    must match the per-row path (same mask, shared union gather)."""
-    params, x, t, ctx = setup
-    f, h, w = GRID_IN
-    token_grid = (f, h // 2, w // 2)
-    plan = build_curve_plan(token_grid, "sliced", 128)
+def test_shared_gather_q_rows_matches_per_row():
+    """WanCarve.q_rows>1 routes through the shared-gather kernel; trunk
+    outputs must match the per-row path.
+
+    Compares wan_embed+wan_trunk (NOT wan_forward: the zero-initialized
+    head makes full-forward outputs identically 0, which would be
+    vacuous), on a (4,8,12)=384-token grid -> 3 blocks so q_rows=2 also
+    exercises the odd-row-count padding (3 -> 4)."""
+    from jenga_tpu.models.wan import wan_embed, wan_trunk
+    key = jax.random.PRNGKey(5)
+    params = init_wan_params(key, TINY)
+    lat = (4, 16, 24)
+    x = jax.random.normal(jax.random.fold_in(key, 1),
+                          (1, TINY.in_dim, *lat), jnp.float32)
+    t = jnp.full((1,), 600.0, jnp.float32)
+    ctx = jax.random.normal(jax.random.fold_in(key, 2),
+                            (1, TINY.text_len, TINY.text_dim), jnp.float32)
+    plan = build_curve_plan((4, 8, 12), "sliced", 128)
 
     def run(q_rows):
         carve = make_wan_carve(TINY, plan, sa_drop_rate=0.5, p_remain=0.9,
                                q_rows=q_rows)
-        return wan_forward(params, TINY, x, t, ctx, carve=carve)
+        h0, aux = wan_embed(params, TINY, x, t, ctx, carve)
+        return wan_trunk(params, TINY, h0, aux, carve)
 
-    np.testing.assert_allclose(np.asarray(run(1)), np.asarray(run(2)),
-                               atol=2e-5, rtol=2e-5)
+    a, b = np.asarray(run(1)), np.asarray(run(2))
+    assert np.abs(a).max() > 0          # non-degenerate activations
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
