@@ -1,0 +1,57 @@
+"""On-chip carved-vs-dense fidelity run (Wan 1.3B architecture).
+
+Runs the same seed through the Jenga-Base carved configuration and the
+dense configuration at 480p x 33f / 20 steps and reports final-latent MSE
+and relative error via `pipelines.loss_eval.carving_fidelity_report`.
+
+With random weights the pooled-QK attention is near-uniform, so top-p
+selection approaches random block choice — the production relative error
+(trained checkpoints, peaked local attention) is far lower; the paper
+reports VBench within ~1% of dense. This run demonstrates the fidelity
+harness end-to-end on hardware and pins the synthetic-weights number.
+"""
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+
+import jax.numpy as jnp
+
+from jenga_tpu.models.wan import WAN_T2V_1_3B, init_wan_params
+from jenga_tpu.pipelines.loss_eval import carving_fidelity_report
+from jenga_tpu.pipelines.wan_t2v import WanT2VOptions, WanT2VPipeline
+
+cfg = WAN_T2V_1_3B
+params = init_wan_params(jax.random.PRNGKey(0), cfg)
+# the head is zero-initialized (reference parity) — with random weights
+# that makes every velocity exactly 0 and the comparison vacuous; give
+# the head a small random weight so the trajectory is non-degenerate
+import jax.numpy as _jnp
+params["head"]["linear"]["w"] = 0.02 * jax.random.normal(
+    jax.random.PRNGKey(99), params["head"]["linear"]["w"].shape,
+    _jnp.float32)
+pipe = WanT2VPipeline(cfg, params)
+
+key = jax.random.PRNGKey(1)
+ctx = jax.random.normal(key, (77, cfg.text_dim), jnp.float32)
+ctx_null = jax.random.normal(jax.random.fold_in(key, 1),
+                             (77, cfg.text_dim), jnp.float32)
+
+base = WanT2VOptions(size=(832, 480), frame_num=33, sampling_steps=20,
+                     teacache_thresh=None, seed=7)
+carved = dataclasses.replace(base, sa_drop_rates=(0.75, 0.85),
+                             p_remain=0.9)
+dense = dataclasses.replace(base, sa_drop_rates=(0.0, 0.0))
+
+report = carving_fidelity_report(pipe, None, ctx, ctx_null, carved, dense)
+report["config"] = "wan-1.3b-arch 832x480x33f 20 steps, Jenga-Base drop "\
+    ".75/.85 p_remain .9, random weights, matched seed"
+print(json.dumps(report))
