@@ -359,11 +359,6 @@ def _joint_attention(q, k, v, cfg: HYVideoConfig, carve: HYCarve | None,
         top_k = int((1.0 - carve.sa_drop_rate) * (img_len // 128))
 
     if mesh is not None:
-        if getattr(carve, "q_rows", 1) > 1:
-            raise ValueError(
-                "q_rows > 1 (shared-gather attention) is not supported "
-                "under sequence parallelism yet — drop --q-group or the "
-                "mesh; failing loudly beats silently ignoring the flag")
         # RoPE is already applied (HY rotates img q/k pre-concat), so no
         # tables are passed into the Ulysses island.
         out = ulysses_self_attention(
@@ -371,7 +366,8 @@ def _joint_attention(q, k, v, cfg: HYVideoConfig, carve: HYCarve | None,
             block_neighbors=jnp.asarray(carve.block_neighbors),
             top_k=top_k, p_remain=carve.p_remain, seqlen=seqlen,
             text_start_block=tsb, text_blocks=carve.txt_block_num,
-            text_amp=carve.text_amp)
+            text_amp=carve.text_amp,
+            q_rows=max(1, int(getattr(carve, "q_rows", 1))))
         return out[:, :s].reshape(b, s, n * hd)
 
     qt = q.transpose(0, 2, 1, 3)

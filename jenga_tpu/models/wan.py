@@ -270,11 +270,6 @@ def _self_attention(p, x, cfg: WanConfig, carve: WanCarve | None,
             k = L.apply_rope(k, rope_cos, rope_sin)
             out = ring_attention(q, k, v, mesh)
             return L.linear(p["o"], out.reshape(b, s, d))
-        if sparse and getattr(carve, "q_rows", 1) > 1:
-            raise ValueError(
-                "q_rows > 1 (shared-gather attention) is not supported "
-                "under sequence parallelism yet — drop --q-group or the "
-                "mesh; failing loudly beats silently ignoring the flag")
         if sparse and top_k is None:
             nb = s // 128
             top_k = int(nb * (1.0 - carve.sa_drop_rate))
@@ -286,7 +281,9 @@ def _self_attention(p, x, cfg: WanConfig, carve: WanCarve | None,
             p_remain=1.0 if carve is None else carve.p_remain,
             seqlen=None if carve is None else carve.seqlen,
             first_frame_blocks=0 if carve is None
-            else carve.first_frame_blocks)
+            else carve.first_frame_blocks,
+            q_rows=1 if carve is None
+            else max(1, int(getattr(carve, "q_rows", 1))))
         return L.linear(p["o"], out.reshape(b, s, d))
 
     q = L.apply_rope(q, rope_cos, rope_sin)

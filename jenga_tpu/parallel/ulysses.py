@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.block_sparse_attention import block_sparse_attention
+from ..ops.block_sparse_attention import (block_sparse_attention,
+                                          grouped_attention_from_mask)
 from ..ops.flash_attention import dense_attention
 from ..sparse.planner import build_block_mask, mask_to_block_lists, \
     pack_block_lists
@@ -49,6 +50,7 @@ def ulysses_self_attention(
     text_blocks: int = 0,
     text_amp: float = 0.0,
     first_frame_blocks: int = 0,
+    q_rows: int = 1,
 ):
     """Sequence-parallel (carved) self-attention.
 
@@ -92,11 +94,18 @@ def ulysses_self_attention(
                 # text query rows attend densely: full index lists
                 full = jnp.ones((*mask.shape[:2], nkb - tsb, nkb), bool)
                 mask = jnp.concatenate([mask, full], axis=2)
-            lists = pack_block_lists(*mask_to_block_lists(mask),
-                                     seqlens=seqlens)
-            out = block_sparse_attention(
-                qt, kt, vt, lists,
-                text_start_block=tsb, text_amp=text_amp)
+            if q_rows > 1:
+                # shared-gather mode works unchanged per device: each
+                # shard holds the full sequence for its local heads
+                out = grouped_attention_from_mask(
+                    qt, kt, vt, mask, q_rows=q_rows, seqlens=seqlens,
+                    text_start_block=tsb, text_amp=text_amp)
+            else:
+                lists = pack_block_lists(*mask_to_block_lists(mask),
+                                         seqlens=seqlens)
+                out = block_sparse_attention(
+                    qt, kt, vt, lists,
+                    text_start_block=tsb, text_amp=text_amp)
         else:
             out = dense_attention(qt, kt, vt)
 

@@ -152,3 +152,20 @@ def test_wan_pipeline_generate_on_mesh(mesh):
     a = np.asarray(pipe_single.generate(ctx, ctx, opts, decode=False))
     b = np.asarray(pipe_mesh.generate(ctx, ctx, opts, decode=False))
     np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-4)
+
+
+def test_sparse_ulysses_q_rows_matches_per_row(mesh):
+    """Shared-gather (q_rows=2) under Ulysses must match the per-row path
+    on the 8-device mesh (each shard holds the full sequence for its
+    local heads, so the grouped kernel drops in unchanged)."""
+    b, s, h, d = 1, 8 * 128, 8, 32
+    q, k, v = _qkv(jax.random.PRNGKey(2), b, s, h, d)
+    cos = np.ones((s, d // 2), np.float32)
+    sin = np.zeros((s, d // 2), np.float32)
+    kw = dict(sparse=True, top_k=3, p_remain=0.5)
+    base = ulysses_self_attention(q, k, v, jnp.asarray(cos),
+                                  jnp.asarray(sin), mesh, **kw)
+    grouped = ulysses_self_attention(q, k, v, jnp.asarray(cos),
+                                     jnp.asarray(sin), mesh, q_rows=2, **kw)
+    np.testing.assert_allclose(np.asarray(grouped), np.asarray(base),
+                               atol=2e-5, rtol=2e-5)
