@@ -58,7 +58,8 @@ import jax.numpy as jnp
 
 # Light config by default: the driver runs bench.py under a wall-clock
 # budget (round 1 died at rc=124), and compile time dominates. BENCH_FULL=1
-# doubles the measured trunk depth (2+4 layers) and timing iterations.
+# doubles the measured trunk depth (2+4 layers) and timing iterations, but
+# is best-effort: the 6-layer carved program can exceed 16GB HBM.
 FULL = bool(int(os.environ.get("BENCH_FULL", "0")))
 QUICK = not FULL
 REF_HY_BASE_SPEEDUP = 5.24   # 1625/310, /root/reference/README.md:79-82
@@ -155,8 +156,11 @@ def main():
     def full_j(params, carve, x, top_k):
         img, txth, aux = hy.hyvideo_embed(params, cfg, x, t, txt, mask,
                                           txt2, carve, guidance)
+        # FULL (6-layer) peaks past 16GB HBM (measured OOM on a quiet
+        # chip, with or without remat — the peak sits inside one
+        # attention layer's working set); FULL stays best-effort
         img2 = hy.hyvideo_trunk(params, cfg, img, txth, aux, carve,
-                                top_k=top_k)
+                                top_k=top_k, remat=FULL)
         return hy.hyvideo_head(params, cfg, img2, aux, carve), img2 - img
 
     @jax.jit
