@@ -433,6 +433,10 @@ def run_wan_i2v(args):
     over = {"seed": args.seed, "max_area": args.max_area}
     if args.q_group and args.q_group > 1:
         over["q_group"] = args.q_group
+    if args.max_area <= 832 * 480:
+        # reference drops the flow shift to 3.0 for 480p-class sizes
+        # (`/root/reference/jenga_wan.py:677-679`)
+        over["shift"] = 3.0
     if args.infer_steps:
         over["sampling_steps"] = args.infer_steps
     if args.video_length:

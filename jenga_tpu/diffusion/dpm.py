@@ -54,14 +54,25 @@ class DPMState:
 
 def dpm_schedule(num_steps: int, shift: float = 1.0,
                  num_train_timesteps: int = 1000, solver_order: int = 2,
-                 lower_order_final: bool = True) -> DPMSchedule:
-    # reference grid: sigma_max = 1 - 1/N (the init builds
-    # sigmas = 1 - linspace(1, 1/N, N)), sigma_min = 0
-    # (`/root/reference/wan/utils/fm_solvers_unipc.py:107-132,182-185`)
-    sigma_max = 1.0 - 1.0 / num_train_timesteps
-    sigma_min = 0.0
-    sigmas = np.linspace(sigma_max, sigma_min, num_steps + 1,
-                         dtype=np.float64)[:-1]
+                 lower_order_final: bool = True,
+                 grid: str = "sampling") -> DPMSchedule:
+    # The reference uses TWO sigma grids with this solver:
+    #   grid="sampling" (the --sample_solver dpm++ pipeline path): custom
+    #     sigmas from get_sampling_sigmas — linspace(1, 0, n+1)[:n] then
+    #     shift, so sigma_max is exactly 1.0
+    #     (`/root/reference/wan/utils/fm_solvers.py:22-26`,
+    #     `/root/reference/jenga_wan.py:145-156`);
+    #   grid="train" (set_timesteps' internal default): sigma_max = 1-1/N
+    #     (`/root/reference/wan/utils/fm_solvers.py` set_timesteps).
+    # Pipelines use "sampling" to match the reference dpm++ trajectories.
+    if grid == "sampling":
+        sigma_max = 1.0
+    elif grid == "train":
+        sigma_max = 1.0 - 1.0 / num_train_timesteps
+    else:
+        raise ValueError(f"grid must be 'sampling' or 'train', got {grid!r}")
+    sigmas = np.linspace(sigma_max, 0.0, num_steps + 1,
+                         dtype=np.float64)[:num_steps]
     sigmas = shift * sigmas / (1.0 + (shift - 1.0) * sigmas)
     sigmas = np.concatenate([sigmas, [0.0]])
     return DPMSchedule(sigmas=sigmas,

@@ -35,8 +35,8 @@ __all__ = [
 # (`/root/reference/jenga_hyi2v.py:31-32`).
 HYVIDEO_NON_SKIP_STEPS = (0, 1, 2, 3, 4, 7, 10, 13, 16, 19, 22, 25, 26, 29,
                           32, 35, 38, 41, 43, 45, 46, 47, 49)
-HYI2V_STEP_CALC = (0, 1, 2, 3, 4, 5, 7, 9, 11, 13, 15, 17, 19, 21, 23, 25,
-                   27, 29, 31, 34, 37, 40, 44, 48)
+HYI2V_STEP_CALC = (0, 1, 2, 3, 5, 7, 10, 13, 16, 19, 22, 25, 28, 31, 34,
+                   37, 40, 42, 44, 45, 46, 47, 48, 49)
 
 # TeaCache polynomial rescale coefficients per checkpoint
 # (`/root/reference/jenga_wan.py:1085-1098,1200-1213`); key =

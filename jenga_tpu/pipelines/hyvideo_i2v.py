@@ -68,7 +68,9 @@ class HYI2VOptions(HYT2VOptions):
     i2v_condition_type: str = "token_replace"   # | latent_concat
     i2v_stability: bool = True
     flow_shift: float = 5.0
-    scheduler_shift_list: tuple[float, ...] = (5.0, 5.0)
+    # reference i2v preset: initial shift 5.0 but stage re-shifts 7 7
+    # (`/root/reference/scripts/hyi2v_jenga_base.sh:20,29`)
+    scheduler_shift_list: tuple[float, ...] = (7.0, 7.0)
     non_skip_steps: tuple[int, ...] = HYI2V_STEP_CALC
     txt_block_num: int = 4
 
@@ -124,7 +126,7 @@ class HYVideoI2VPipeline(HYVideoT2VPipeline):
                 txt_block_num=opts.txt_block_num,
                 q_rows=getattr(opts, "q_group", 1))
             stage_data.append((lat, grid, carve,
-                               self._stage_fns(carve, batch)))
+                               self._stage_fns(carve)))
 
         compute = (fixed_compute_schedule(
             n, opts.non_skip_steps, stage_starts=[s + 1 for s in splits])

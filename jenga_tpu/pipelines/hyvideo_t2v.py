@@ -88,7 +88,7 @@ class HYVideoT2VPipeline:
             shapes.append((lat, grid))
         return shapes
 
-    def _stage_fns(self, carve, batch: int):
+    def _stage_fns(self, carve):
         # params AND carve are explicit arguments: closing over either
         # bakes multi-GB weights / ~60MB rope+curve tables into the HLO as
         # constants (compile blow-up; carve is a registered pytree whose
@@ -170,7 +170,7 @@ class HYVideoT2VPipeline:
                 opts.p_remain, text_amp=text_amp,
                 txt_block_num=opts.txt_block_num, q_rows=opts.q_group)
             stage_data.append((lat, grid, carve,
-                               self._stage_fns(carve, batch)))
+                               self._stage_fns(carve)))
 
         # the switch happens after the forward at step s, so the *next*
         # step is the forced-compute stage start (reference sets
@@ -188,7 +188,11 @@ class HYVideoT2VPipeline:
             latents = jax.random.normal(
                 k0, (1, cfg.in_channels, *lat0), jnp.float32)
 
-        schedule = flow_match_schedule(n, shift=opts.scheduler_shift_list[0],
+        # the INITIAL schedule uses flow_shift (reference builds the first
+        # scheduler from args.flow_shift, `/root/reference/hyvideo/
+        # inference.py:437`); scheduler_shift_list drives the re-shifts at
+        # stage switches only
+        schedule = flow_match_schedule(n, shift=opts.flow_shift,
                                        reverse=True)
         stage_idx = 0
         residual = None

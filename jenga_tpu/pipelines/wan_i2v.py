@@ -29,7 +29,10 @@ __all__ = ["WanI2VOptions", "WanI2VPipeline", "build_i2v_mask",
 @dataclasses.dataclass(frozen=True)
 class WanI2VOptions(WanT2VOptions):
     max_area: int = 720 * 1280
-    shift: float = 5.0
+    shift: float = 5.0          # reference uses 3.0 for 480p sizes (the
+                                # CLI applies that by max_area)
+    sampling_steps: int = 40    # reference i2v default (jenga_wan.py:674)
+    guide_scale: float = 5.0    # reference i2v default (argparse :814)
     enable_turbo: bool = False
 
 

@@ -252,7 +252,6 @@ class WanT2VPipeline:
         carve, fns = carve0, fns0
         residual = None
         stage_changed = False
-        num_blocks0 = -(-carve0.seqlen // 128)
 
         for idx in range(n):
             # drop-rate schedule + warmup (`/root/reference/jenga_wan.py:190-206`)

@@ -43,6 +43,16 @@ __all__ = ["HunyuanVideoSampler", "WanSampler", "load_image"]
 CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
+# default negative prompt applied when none is given (the reference
+# substitutes ``config.sample_neg_prompt`` for empty negatives,
+# `/root/reference/jenga_wan.py:109-110`,
+# `/root/reference/wan/configs/shared_config.py:19`)
+WAN_DEFAULT_NEGATIVE_PROMPT = (
+    "色调艳丽，过曝，静态，细节模糊不清，字幕，风格，作品，画作，画面，静止，"
+    "整体发灰，最差质量，低质量，JPEG压缩残留，丑陋的，残缺的，多余的手指，"
+    "画得不好的手部，画得不好的脸部，畸形的，毁容的，形态畸形的肢体，"
+    "手指融合，静止不动的画面，杂乱的背景，三条腿，背景人很多，倒着走")
+
 
 def _find(path, *names):
     for n in names:
@@ -60,8 +70,11 @@ def load_image(path: str) -> np.ndarray:
 
 
 def _resize_chw(img: np.ndarray, h: int, w: int) -> jnp.ndarray:
+    # bicubic: the reference preprocessing is bicubic for both the CLIP
+    # tower (`/root/reference/wan/modules/clip.py:531-534`) and the I2V
+    # first-frame VAE encode (mode='bicubic')
     return jax.image.resize(jnp.asarray(img), (img.shape[0], h, w),
-                            method="bilinear")
+                            method="cubic")
 
 
 class HunyuanVideoSampler:
@@ -548,7 +561,8 @@ class WanSampler:
                         **kw):
         """Full prompt -> video path (T2V)."""
         ctx = self.encode_prompt(prompt)
-        ctx_null = self.encode_prompt(negative_prompt or "")
+        ctx_null = self.encode_prompt(
+            negative_prompt or WAN_DEFAULT_NEGATIVE_PROMPT)
         return self.pipeline.generate(ctx, ctx_null, opts, **kw)
 
     def generate_image(self, image, prompt: str, opts,
@@ -556,7 +570,8 @@ class WanSampler:
         """Full image+prompt -> video path (I2V)."""
         from .pipelines.wan_i2v import i2v_latent_size
         ctx = self.encode_prompt(prompt)
-        ctx_null = self.encode_prompt(negative_prompt or "")
+        ctx_null = self.encode_prompt(
+            negative_prompt or WAN_DEFAULT_NEGATIVE_PROMPT)
         img = np.asarray(image)
         lat_h, lat_w = i2v_latent_size(img.shape[1], img.shape[2],
                                        opts.max_area)

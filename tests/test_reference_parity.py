@@ -1211,9 +1211,14 @@ def test_dpm_scheduler_matches_reference():
     ref = mod.FlowDPMSolverMultistepScheduler(num_train_timesteps=1000,
                                               solver_order=2)
     ref.set_timesteps(n, shift=8.0)
-    ours_sched = dpm_schedule(n, shift=8.0)
+    ours_sched = dpm_schedule(n, shift=8.0, grid="train")
     np.testing.assert_allclose(np.asarray(ours_sched.sigmas[:-1]),
                                ref.sigmas.numpy()[:-1], atol=1e-6)
+    # the pipeline path uses the get_sampling_sigmas grid (the reference
+    # dpm++ wiring, `/root/reference/jenga_wan.py:145-156`)
+    sampling = dpm_schedule(n, shift=8.0)
+    np.testing.assert_allclose(np.asarray(sampling.sigmas[:-1]),
+                               mod.get_sampling_sigmas(n, 8.0), atol=1e-6)
 
     torch.manual_seed(0)
     x_ref = torch.randn(1, 4, 2, 8, 8)
