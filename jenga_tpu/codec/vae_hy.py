@@ -201,19 +201,8 @@ def _down_strides(cfg: HYVAEConfig):
     return out
 
 
-def _up_factors(cfg: HYVAEConfig):
-    n = len(cfg.block_out_channels)
-    ns = int(np.log2(cfg.spatial_compression_ratio))
-    nt = int(np.log2(cfg.time_compression_ratio))
-    out = []
-    for i in range(n):
-        sp = i < ns
-        tm = (i >= n - 1 - nt) and (i != n - 1)
-        if not sp and not tm:
-            out.append(None)
-        else:
-            out.append((2 if tm else 1, 2 if sp else 1, 2 if sp else 1))
-    return out
+# the decoder mirrors the encoder's 884 placement rule exactly
+_up_factors = _down_strides
 
 
 def init_hyvae_params(key, cfg: HYVAEConfig = HYVAE_884_16C):

@@ -333,7 +333,7 @@ class HunyuanVideoSampler:
         interleave = 2 if i2v_condition_type == "latent_concat" else 4
         hidden, out_mask = extract_i2v_tokens(
             np.asarray(states[-1]), np.asarray(full_mask), mode,
-            image_embed_interleave=interleave)
+            image_embed_interleave=interleave, token_ids=np.asarray(ids))
         pooled = np.zeros((self.cfg.text_states_dim_2,), np.float32)
         if self.text_encoder_2 is not None:
             from .text.clip import clip_text_encode

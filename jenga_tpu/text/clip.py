@@ -179,8 +179,11 @@ def clip_vision_encode(params, cfg: CLIPVisionConfig, images,
                                                                + 1]
     h = L.layer_norm(h, params["pre_ln"]["w"], params["pre_ln"]["b"],
                      eps=1e-5)
+    # exact-erf gelu: the Wan ViT-H reference uses torch nn.GELU()
+    # (`/root/reference/wan/modules/clip.py:183`), not the tanh approx
     act = (lambda x: x * jax.nn.sigmoid(1.702 * x)) \
-        if cfg.act == "quick_gelu" else jax.nn.gelu
+        if cfg.act == "quick_gelu" \
+        else (lambda x: jax.nn.gelu(x, approximate=False))
     n_blocks = len(params["blocks"])
     if use_31_block:
         n_blocks -= 1

@@ -263,13 +263,16 @@ def llama_decode_step(params, cfg: LlamaConfig, token, pos, cache,
         v = L.linear(p["v"], x).reshape(b, 1, nkv, hd)
         q = _rope_pointwise(q, cos, sin)
         k = _rope_pointwise(k, cos, sin)
-        # scatter k/v at pos per sample
+        # scatter k/v at pos per sample — REPLACE, never add: for ragged
+        # right-padded batches the prefill already filled these positions
+        # with pad-token k/v, and adding on top corrupts the cache for
+        # every shorter sample
         onehot = jax.nn.one_hot(pos, cache[li]["k"].shape[1],
-                                dtype=jnp.float32)   # [B, max_len]
-        cache[li]["k"] = cache[li]["k"] \
-            + onehot[:, :, None, None] * k.astype(jnp.float32)
-        cache[li]["v"] = cache[li]["v"] \
-            + onehot[:, :, None, None] * v.astype(jnp.float32)
+                                dtype=jnp.float32)[:, :, None, None]
+        cache[li]["k"] = cache[li]["k"] * (1.0 - onehot) \
+            + onehot * k.astype(jnp.float32)
+        cache[li]["v"] = cache[li]["v"] * (1.0 - onehot) \
+            + onehot * v.astype(jnp.float32)
         attn = _attn_with_cache(q, cache[li]["k"], cache[li]["v"], n, nkv,
                                 pos + 1)
         h = h + L.linear(p["o"], attn.astype(h.dtype))

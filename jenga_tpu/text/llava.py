@@ -112,7 +112,7 @@ def _gelu(x):
 
 
 def extract_i2v_tokens(hidden, mask, mode: str = "video",
-                       image_embed_interleave: int = 4):
+                       image_embed_interleave: int = 4, token_ids=None):
     """Post-process llava hidden states into DiT conditioning: strided
     image tokens [start:end:interleave] + template-cropped text tokens,
     concatenated (reference ``encode``,
@@ -120,6 +120,14 @@ def extract_i2v_tokens(hidden, mask, mode: str = "video",
 
     ``interleave``: 4 for token_replace, 2 for latent_concat
     (`/root/reference/hyvideo_i2v/inference.py:260-268`).
+
+    ``token_ids``: the UNSPLICED prompt token ids [B, S]; when given, the
+    4 assistant-header tokens
+    (``<|start_header_id|>assistant<|end_header_id|>\\n\\n``) preceding
+    the last double-return token (id 271) are cropped out of the text
+    span, matching the reference's assistant_crop
+    (`__init__.py:425-439`). Positions are converted to spliced
+    coordinates (the ``<image>`` token expanded to image_emb_len).
     """
     info = I2V_TEMPLATE_INFO[mode]
     s, e = info["image_emb_start"], info["image_emb_end"]
@@ -128,7 +136,24 @@ def extract_i2v_tokens(hidden, mask, mode: str = "video",
     mask = np.asarray(mask)
     img_h = hidden[:, s:e:image_embed_interleave]
     img_m = mask[:, s:e:image_embed_interleave]
-    txt_h = hidden[:, text_start:]
-    txt_m = mask[:, text_start:]
+    if token_ids is None:
+        txt_h = hidden[:, text_start:]
+        txt_m = mask[:, text_start:]
+        return (np.concatenate([img_h, txt_h], axis=1),
+                np.concatenate([img_m, txt_m], axis=1))
+    ids = np.asarray(token_ids)
+    out_h, out_m = [], []
+    shift = info["image_emb_len"] - 1     # <image> -> 576 embeddings
+    for i in range(hidden.shape[0]):
+        hits = np.nonzero(ids[i] == info["double_return_token_id"])[0]
+        last = int(hits[-1]) if len(hits) else ids.shape[1]
+        acs = last + shift - 4            # assistant crop, spliced coords
+        ace = last + shift
+        out_h.append(np.concatenate(
+            [hidden[i, text_start:acs], hidden[i, ace:]]))
+        out_m.append(np.concatenate(
+            [mask[i, text_start:acs], mask[i, ace:]]))
+    txt_h = np.stack(out_h)
+    txt_m = np.stack(out_m)
     return (np.concatenate([img_h, txt_h], axis=1),
             np.concatenate([img_m, txt_m], axis=1))

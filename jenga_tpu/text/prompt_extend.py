@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import dataclasses
 
+import numpy as np
+
 __all__ = ["T2V_EXTEND_SYSTEM_PROMPT", "I2V_EXTEND_SYSTEM_PROMPT",
            "VL_EXTEND_SYSTEM_PROMPT",
            "REWRITE_NORMAL_SYSTEM_PROMPT", "REWRITE_MASTER_SYSTEM_PROMPT",
@@ -122,7 +124,10 @@ class LocalLLMExpander:
         except FileNotFoundError:
             pt = os.path.join(model_dir, "pytorch_model.bin")
             sd = load_torch_state_dict(pt)
-        self.params = jax.tree.map(jnp.asarray, convert_llama(sd, self.cfg))
+        # pass dtype so the 7-8B weight tree lands in bf16 (f32 doubles
+        # host+device memory and halves matmul throughput)
+        self.params = jax.tree.map(jnp.asarray, convert_llama(
+            sd, self.cfg, dtype=np.dtype(self.cfg.dtype)))
         from transformers import AutoTokenizer
         self.tok = AutoTokenizer.from_pretrained(model_dir)
         self.max_new_tokens = max_new_tokens
@@ -208,7 +213,8 @@ class LocalVLExpander:
             sd = load_torch_state_dict(
                 os.path.join(model_dir, "pytorch_model.bin"))
         self.params = jax.tree.map(
-            jnp.asarray, convert_llava(sd, self.cfg, self.vision_cfg))
+            jnp.asarray, convert_llava(sd, self.cfg, self.vision_cfg,
+                                       dtype=np.dtype(self.cfg.dtype)))
         from transformers import AutoTokenizer
         self.tok = AutoTokenizer.from_pretrained(model_dir)
         if self.image_token_id is None:

@@ -100,6 +100,9 @@ def xlm_roberta_encode(params, cfg: XLMRobertaConfig, token_ids):
         # post-LN (roberta convention)
         h = L.layer_norm(h + L.linear(p["o"], attn), p["ln1"]["w"],
                          p["ln1"]["b"], eps=cfg.eps)
-        y = L.linear(p["fc2"], jax.nn.gelu(L.linear(p["fc1"], h)))
+        # exact-erf gelu (reference nn.GELU(),
+        # `/root/reference/wan/modules/xlm_roberta.py:62`)
+        y = L.linear(p["fc2"], jax.nn.gelu(L.linear(p["fc1"], h),
+                                           approximate=False))
         h = L.layer_norm(h + y, p["ln2"]["w"], p["ln2"]["b"], eps=cfg.eps)
     return h

@@ -11,6 +11,7 @@ from jenga_tpu.convert.encoders import convert_llava
 from jenga_tpu.text import llama as llama_lib
 from jenga_tpu.text.clip import CLIPVisionConfig
 from jenga_tpu.text.llava import extract_i2v_tokens, llava_encode
+from jenga_tpu.text import llava as extract_mod
 
 
 def _tiny_hf_llava():
@@ -181,3 +182,31 @@ def test_local_vl_expander_end_to_end(tmp_path):
 
     with pytest.raises(ValueError):
         exp("sys", "w1 w2 w3")   # image required
+
+
+def test_extract_i2v_assistant_crop():
+    """With token_ids given, the 4 assistant-header tokens before the LAST
+    double-return token (id 271) are cropped out of the text span
+    (reference `/root/reference/hyvideo_i2v/text_encoder/__init__.py:
+    425-439`)."""
+    info = extract_mod.I2V_TEMPLATE_INFO["image"]
+    crop, emb_len = info["crop_start"], info["image_emb_len"]
+    S = 160                                    # unspliced token count
+    spliced_len = S - 1 + emb_len
+    hidden = np.arange(spliced_len, dtype=np.float32)[None, :, None]
+    mask = np.ones((1, spliced_len), np.int64)
+    ids = np.zeros((1, S), np.int64)
+    ids[0, 10] = 271                           # earlier double-return
+    last = 150
+    ids[0, last] = 271                         # the LAST one
+    h, m = extract_mod.extract_i2v_tokens(
+        hidden, mask, mode="image", image_embed_interleave=4,
+        token_ids=ids)
+    n_img = len(range(info["image_emb_start"], info["image_emb_end"], 4))
+    txt = h[0, n_img:, 0].astype(int)
+    text_start = crop - 1 + emb_len
+    acs = last + emb_len - 1 - 4
+    ace = last + emb_len - 1
+    expect = list(range(text_start, acs)) + list(range(ace, spliced_len))
+    assert txt.tolist() == expect              # exactly 4 positions removed
+    assert h.shape[1] == m.shape[1]
