@@ -24,14 +24,10 @@ __all__ = ["convert_llama", "convert_clip_text", "convert_umt5_wan",
            "convert_xlm_roberta_wan", "strip_prefix"]
 
 
-def _np(t):
-    try:
-        import torch
-        if isinstance(t, torch.Tensor):
-            return t.detach().to(torch.float32).cpu().numpy()
-    except ImportError:
-        pass
-    return np.asarray(t)
+# torch->numpy cast and the bias-less/bias-ful linear + f32-norm helpers
+# are shared with the DiT/VAE converters so conversion semantics cannot
+# drift between the two converter modules
+from . import _np, _norm as _ln_shared
 
 
 def strip_prefix(sd: dict, *prefixes: str) -> dict:
@@ -57,8 +53,7 @@ def _linwb(sd, name, dtype):
 
 
 def _ln(sd, name):
-    return {"w": _np(sd[f"{name}.weight"]).astype(np.float32),
-            "b": _np(sd[f"{name}.bias"]).astype(np.float32)}
+    return _ln_shared(sd, name)
 
 
 # ------------------------------------------------------------------ llama

@@ -192,7 +192,9 @@ def clip_vision_encode(params, cfg: CLIPVisionConfig, images,
         n_blocks += feature_layer + 1
     for blk in params["blocks"][:n_blocks]:
         h = _encoder_block(blk, h, cfg.num_heads, act=act)
-    if use_31_block or feature_layer is not None:
-        return h
-    return L.layer_norm(h, params["post_ln"]["w"], params["post_ln"]["b"],
-                        eps=1e-5)
+    # all paths return raw transformer output: the Wan reference returns
+    # self.transformer(x) without post-norm
+    # (`/root/reference/wan/modules/clip.py:298-300`), and HF applies the
+    # post-LN only to the pooled CLS — post-LN'ing every token matched no
+    # reference. (post_ln params stay in the tree for converter coverage.)
+    return h
