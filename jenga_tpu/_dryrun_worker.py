@@ -6,13 +6,20 @@ force-registers a remote TPU PJRT plugin and overrides ``JAX_PLATFORMS``,
 so the config must be reset in-process *before* any backend initializes
 (same trick as tests/conftest.py).
 
-Covers both flagship multi-chip paths:
+Each case runs the SAME forward twice — jitted over the n-device mesh
+(Ulysses/ring + FSDP-sharded params) and on one device with identical
+nonzero random inputs — and asserts the outputs match: the dryrun proves
+resharding *equivalence*, not just that a finite program compiles.
+
+Covers the three flagship multi-chip paths:
   * Wan2.1: full carved CFG denoise step (forward + guidance + first-order
     flow update) with Ulysses sequence parallelism and FSDP-sharded params;
-  * HunyuanVideo: carved MMDiT forward with trailing text blocks and a
-    nonzero text-amplitude bias — the joint-text Ulysses path
-    (reference semantics
-    `/root/reference/hyvideo/modules/xdit_ring_atten.py:133-177`).
+  * HunyuanVideo: carved MMDiT forward with trailing text blocks, nonzero
+    text-amplitude bias and the shared-gather kernel (q_rows=2) — the
+    joint-text Ulysses path (reference semantics
+    `/root/reference/hyvideo/modules/xdit_ring_atten.py:133-177`);
+  * HunyuanVideo ring fallback: head count NOT divisible by the mesh, so
+    joint attention runs as ring attention with replicated text KV.
 """
 
 import os
@@ -33,6 +40,15 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
+def _check(mesh_out, single_out, label: str, atol=2e-4) -> None:
+    a = np.asarray(mesh_out)
+    b = np.asarray(single_out)
+    assert np.isfinite(a).all(), f"{label}: non-finite mesh output"
+    np.testing.assert_allclose(
+        a, b, atol=atol, rtol=2e-4,
+        err_msg=f"{label}: mesh output != single-device output")
+
+
 def wan_step(n_devices: int) -> None:
     """Carved CFG denoise step over an n-device mesh: Ulysses in every
     self-attention, FSDP-style parameter sharding."""
@@ -50,19 +66,20 @@ def wan_step(n_devices: int) -> None:
                     freq_dim=32, num_heads=n_devices, num_layers=2,
                     text_dim=64, text_len=16, dtype="float32")
     params = init_wan_params(jax.random.PRNGKey(0), cfg)
-    params = shard_params_fsdp(params, mesh)
+    sharded = shard_params_fsdp(params, mesh)
 
     grid = (2, 8, 16)  # 256 tokens = 2 blocks, divisible by the mesh
-    latent = jnp.zeros((1, cfg.in_dim, 2, 16, 32), jnp.float32)
-    ctx2 = jnp.zeros((2, cfg.text_len, cfg.text_dim), jnp.float32)
+    key = jax.random.PRNGKey(42)
+    latent = jax.random.normal(key, (1, cfg.in_dim, 2, 16, 32), jnp.float32)
+    ctx2 = jax.random.normal(jax.random.fold_in(key, 1),
+                             (2, cfg.text_len, cfg.text_dim), jnp.float32)
     plan = build_curve_plan(grid, "sliced", 128)
     carve = make_wan_carve(cfg, plan, sa_drop_rate=0.5, p_remain=0.9)
     schedule = unipc_schedule(10, shift=5.0)
     sigma0, sigma1 = float(schedule.sigmas[0]), float(schedule.sigmas[1])
     t = jnp.full((2,), schedule.timestep(0), jnp.float32)
 
-    @jax.jit
-    def denoise_step(params, latent, ctx2):
+    def denoise_step(params, latent, ctx2, mesh):
         x2 = jnp.concatenate([latent, latent])
         v2 = wan_forward(params, cfg, x2, t, ctx2, carve=carve, mesh=mesh)
         v = v2[1:2] + 5.0 * (v2[0:1] - v2[1:2])
@@ -71,15 +88,15 @@ def wan_step(n_devices: int) -> None:
         return (1.0 - sigma1) * x0 + sigma1 * (latent - (1 - sigma0) * v) \
             / max(sigma0, 1e-6)
 
-    out = denoise_step(params, replicate(latent, mesh),
-                       replicate(ctx2, mesh))
-    out.block_until_ready()
-    assert np.isfinite(np.asarray(out)).all()
+    out = jax.jit(lambda p, x, c: denoise_step(p, x, c, mesh))(
+        sharded, replicate(latent, mesh), replicate(ctx2, mesh))
+    ref = jax.jit(lambda p, x, c: denoise_step(p, x, c, None))(
+        params, latent, ctx2)
+    _check(out, ref, "wan CFG step")
 
 
-def hyvideo_step(n_devices: int) -> None:
-    """Carved HY MMDiT forward over the mesh with joint text blocks and a
-    nonzero text-amp bias (the path that was dead code in round 1)."""
+def _hy_case(n_devices: int, heads: int, q_rows: int, label: str,
+             sa_drop_rate: float = 0.6) -> None:
     from jenga_tpu.curves.blocks import build_curve_plan
     from jenga_tpu.models.hyvideo import (
         HYVideoConfig, init_hyvideo_params, make_hy_carve, hyvideo_forward)
@@ -87,34 +104,58 @@ def hyvideo_step(n_devices: int) -> None:
         shard_params_fsdp
 
     mesh = make_sp_mesh(jax.devices()[:n_devices])
-    cfg = HYVideoConfig(hidden_size=128 * n_devices,
-                        heads_num=n_devices, double_blocks=1,
+    # head_dim stays 128 (the rope_dim_list sum); head COUNT varies per case
+    cfg = HYVideoConfig(hidden_size=128 * heads,
+                        heads_num=heads, double_blocks=1,
                         single_blocks=1, text_states_dim=128,
                         text_states_dim_2=32, dtype="float32")
     params = init_hyvideo_params(jax.random.PRNGKey(1), cfg)
-    params = shard_params_fsdp(params, mesh)
+    sharded = shard_params_fsdp(params, mesh)
 
     grid = (4, 8, 12)  # 384 img tokens = 3 blocks
     txt_len = 256      # 2 trailing text blocks -> 640 total, /8 devices
     plan = build_curve_plan(grid, "gilbert", 128)
-    carve = make_hy_carve(cfg, plan, sa_drop_rate=0.6, p_remain=0.5,
-                          text_amp=0.5, txt_block_num=2)
+    carve = make_hy_carve(cfg, plan, sa_drop_rate=sa_drop_rate,
+                          p_remain=0.5, text_amp=0.5, txt_block_num=2,
+                          q_rows=q_rows)
 
-    x = jnp.zeros((1, cfg.in_channels, 4, 16, 24), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (1, cfg.in_channels, 4, 16, 24), jnp.float32)
     t = jnp.array([500.0], jnp.float32)
-    txt = jnp.zeros((1, txt_len, cfg.text_states_dim), jnp.float32)
+    txt = jax.random.normal(jax.random.fold_in(key, 1),
+                            (1, txt_len, cfg.text_states_dim), jnp.float32)
     tmask = jnp.ones((1, txt_len), jnp.int32)
-    txt2 = jnp.zeros((1, cfg.text_states_dim_2), jnp.float32)
+    txt2 = jax.random.normal(jax.random.fold_in(key, 2),
+                             (1, cfg.text_states_dim_2), jnp.float32)
 
-    @jax.jit
-    def fwd(params, x, txt, tmask, txt2):
+    def fwd(params, x, txt, tmask, txt2, mesh):
         return hyvideo_forward(params, cfg, x, t, txt, tmask, txt2,
                                carve=carve, mesh=mesh)
 
-    out = fwd(params, replicate(x, mesh), replicate(txt, mesh),
-              replicate(tmask, mesh), replicate(txt2, mesh))
-    out.block_until_ready()
-    assert np.isfinite(np.asarray(out)).all()
+    out = jax.jit(lambda p, a, b, c, d: fwd(p, a, b, c, d, mesh))(
+        sharded, replicate(x, mesh), replicate(txt, mesh),
+        replicate(tmask, mesh), replicate(txt2, mesh))
+    ref = jax.jit(lambda p, a, b, c, d: fwd(p, a, b, c, d, None))(
+        params, x, txt, tmask, txt2)
+    _check(out, ref, label)
+
+
+def hyvideo_step(n_devices: int) -> None:
+    """Carved HY MMDiT forward over the mesh with joint text blocks, a
+    nonzero text-amp bias and the shared-gather kernel (q_rows=2)."""
+    _hy_case(n_devices, heads=n_devices, q_rows=2, label="hy ulysses q2")
+
+
+def hyvideo_ring_fallback(n_devices: int) -> None:
+    """Head count not divisible by the mesh: joint attention runs as ring
+    attention with replicated text KV (`models/hyvideo.py`), which must
+    still match the single-device forward. Dense (sa_drop_rate=0): with
+    carving active this mesh/heads mismatch degrades to the same dense
+    ring (with a loud warning), so the dense case is the one with an
+    equivalent single-device program to compare against."""
+    heads = n_devices + n_devices // 2 if n_devices > 1 else 1
+    _hy_case(n_devices, heads=heads, q_rows=1, label="hy ring fallback",
+             sa_drop_rate=0.0)
 
 
 def main() -> None:
@@ -123,6 +164,7 @@ def main() -> None:
         f"expected {n} CPU devices, got {jax.devices()}"
     wan_step(n)
     hyvideo_step(n)
+    hyvideo_ring_fallback(n)
     print("dryrun ok")
 
 

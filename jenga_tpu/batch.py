@@ -71,9 +71,19 @@ def run_batch(items, generate_fn, save_fn, out_dir: str,
             prompt, 0 if seed is None else seed, ext=suffix.lstrip(".")))
         legacy = os.path.join(out_dir, f"{vid}{suffix}")
         # ids come from arbitrary JSON: escape them so glob metacharacters
-        # can't false-match another id or miss this one
-        stamped = _glob.glob(os.path.join(
-            _glob.escape(out_dir), _glob.escape(f"{vid}_") + f"*{suffix}"))
+        # can't false-match another id or miss this one; anchor the match
+        # on the stamp format (`{id}_<YYYYMMDD-HHMMSS>_seed...`) so an id
+        # that is an underscore-prefix of another (id "a" vs files of id
+        # "a_b") never false-matches and silently skips a prompt
+        import re as _re
+        stamp_re = _re.compile(
+            _re.escape(f"{vid}_") + r"\d{8}-\d{6}_seed")
+        stamped = [
+            f for f in _glob.glob(os.path.join(
+                _glob.escape(out_dir), _glob.escape(f"{vid}_")
+                + f"*{suffix}"))
+            if stamp_re.match(os.path.basename(f))
+        ]
         done = ([legacy] if os.path.exists(legacy) else []) + stamped
         if skip_existing and done:
             log(f"[{vid}] exists, skipping")

@@ -331,8 +331,37 @@ def _joint_attention(q, k, v, cfg: HYVideoConfig, carve: HYCarve | None,
     # no video block left after the trailing text blocks (tiny test shapes)
     kv_len = None if seqlen is None else jnp.broadcast_to(
         jnp.asarray(seqlen, jnp.int32).reshape(-1), (b,))
-    if (carve is None or carve.sa_drop_rate == 0.0
-            or s_pad // 128 <= carve.txt_block_num):
+    carved = not (carve is None or carve.sa_drop_rate == 0.0
+                  or s_pad // 128 <= carve.txt_block_num)
+    ring_n = 1 if mesh is None else mesh.shape.get("ring", 1)
+    if carved and mesh is not None and (
+            n % mesh.shape.get("sp", 1) != 0 or ring_n > 1):
+        # Carving runs under Ulysses only: each device must hold the FULL
+        # sequence for whole heads (block selection is full-sequence,
+        # per-head). A ring axis splits the sequence and a non-dividing
+        # head count breaks the all-to-all; both degrade to DENSE ring
+        # attention. Silently discarding the carving speedup burned
+        # round-1 reviewers: warn loudly (once per trace).
+        from ..utils.logging import get_logger
+        get_logger().warning(
+            "carving DISABLED: heads_num=%d / mesh sp=%d ring=%d — joint "
+            "attention degrades to dense ring attention and the carving "
+            "speedup is lost. Use ring_degree=1 with an sp degree that "
+            "divides the head count.", n, mesh.shape.get("sp", 1), ring_n)
+        carved = False
+    if not carved:
+        if mesh is not None and ring_n > 1:
+            # explicit ring x ulysses composition (dense, like the
+            # reference ring path): img tokens sharded over both axes,
+            # replicated text KV folded per ring step
+            from ..parallel.ring import ring_ulysses_attention
+            out = ring_ulysses_attention(
+                q[:, :img_len], k[:, :img_len], v[:, :img_len], mesh,
+                joint_k=k[:, img_len:], joint_v=v[:, img_len:],
+                joint_kv_len=None if kv_len is None else kv_len - img_len)
+            txt_out = attention_bshd(q[:, img_len:], k, v, kv_len=kv_len)
+            return jnp.concatenate([out, txt_out],
+                                   axis=1).reshape(b, s, n * hd)
         if mesh is not None and n % mesh.shape.get("sp", 1) != 0:
             # heads don't divide the mesh: ring attention over img tokens
             # with replicated text KV appended per step (the reference's
@@ -393,11 +422,9 @@ def _joint_attention(q, k, v, cfg: HYVideoConfig, carve: HYCarve | None,
     return out.transpose(0, 2, 1, 3)[:, :s].reshape(b, s, n * hd)
 
 
-def _double_block(p, img, txt, vec, cfg, carve, rope_cos, rope_sin,
-                  seqlen, top_k, mesh, tr=None):
-    """MMDoubleStreamBlock (`/root/reference/hyvideo/modules/
-    models_mul_block_gc_ha_multigpu.py:48-316`; token-replace variant
-    `/root/reference/hyvideo_i2v/modules/models_mul.py:147-295`)."""
+def _double_qkv(p, img, txt, vec, cfg, rope_cos, rope_sin, tr=None):
+    """Modulation chunks + joint q/k/v of a double block (shared by the
+    block forward and the selection diagnostics)."""
     b, si, d = img.shape
     st = txt.shape[1]
     n, hd = cfg.heads_num, cfg.head_dim
@@ -432,6 +459,17 @@ def _double_block(p, img, txt, vec, cfg, carve, rope_cos, rope_sin,
     q = jnp.concatenate([img_q, txt_q], axis=1)
     k = jnp.concatenate([img_k, txt_k], axis=1)
     v = jnp.concatenate([img_v, txt_v], axis=1)
+    return q, k, v, im, tm, tr_img
+
+
+def _double_block(p, img, txt, vec, cfg, carve, rope_cos, rope_sin,
+                  seqlen, top_k, mesh, tr=None):
+    """MMDoubleStreamBlock (`/root/reference/hyvideo/modules/
+    models_mul_block_gc_ha_multigpu.py:48-316`; token-replace variant
+    `/root/reference/hyvideo_i2v/modules/models_mul.py:147-295`)."""
+    b, si, d = img.shape
+    q, k, v, im, tm, tr_img = _double_qkv(p, img, txt, vec, cfg, rope_cos,
+                                          rope_sin, tr)
 
     attn = _joint_attention(q, k, v, cfg, carve, si, seqlen, top_k, mesh)
     img_attn, txt_attn = attn[:, :si], attn[:, si:]
@@ -608,6 +646,39 @@ def hyvideo_head(params, cfg: HYVideoConfig, img, aux,
     out = L.linear(fl["linear"], out)
     return L.unpatchify_3d(out.astype(jnp.float32), aux["grid"],
                            cfg.patch_size, cfg.out_channels)
+
+
+def hy_first_selection_mask(params, cfg: HYVideoConfig, x, t, text_states,
+                            text_mask, text_states_2,
+                            carve: HYCarve, guidance=None, top_k=None):
+    """Diagnostic: the carving planner's one-hot selection mask for the
+    FIRST double block (video query rows, [B, H, tsb, num_blocks]) — no
+    attention is run. bench.py uses it to report the realized selection
+    density and the shared-gather union fraction of the measured regime."""
+    img, txt, aux = hyvideo_embed(params, cfg, x, t, text_states, text_mask,
+                                  text_states_2, carve, guidance)
+    tr = aux.get("tr")
+    tr_img = None if tr is None else dict(vec=tr["vec"],
+                                          mask_img=tr["mask_img"])
+    q, k, _v, *_ = _double_qkv(params["double_blocks"][0], img, txt,
+                               aux["vec"], cfg, aux["rope_cos"],
+                               aux["rope_sin"], tr_img)
+    b, s, n, hd = q.shape
+    si = img.shape[1]
+    s_pad = -(-s // 128) * 128
+    pad = s_pad - s
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    tsb = s_pad // 128 - carve.txt_block_num
+    if top_k is None:
+        top_k = int((1.0 - carve.sa_drop_rate) * (si // 128))
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    return build_block_mask(
+        qt[:, :, :tsb * 128], kt, top_k=top_k, p_remain=carve.p_remain,
+        text_start_block=tsb, text_blocks=carve.txt_block_num,
+        block_neighbors=jnp.asarray(carve.block_neighbors))
 
 
 def hyvideo_forward(params, cfg: HYVideoConfig, x, t, text_states,

@@ -378,13 +378,21 @@ def _kernel_grouped(
     row masks non-member columns to -inf, so outputs are bit-comparable
     with the per-row kernel. DMA pipeline mirrors `_kernel` (2-deep
     within-row rotation over slots {0,1,3}, cross-step group-0 in slot
-    2), with the list DMA amortized over ``q_rows`` outputs."""
+    2), with the list DMA amortized over ``q_rows`` outputs.
+
+    All ``q_rows`` query blocks are processed as ONE ``(q_rows*block_m,
+    group*block_n)`` matmul + masked streaming softmax — the row axis is
+    vectorized, not a python loop: per-row ``(128, gn)`` matmuls ran the
+    MXU at small-tile efficiency and unrolled the softmax epilogue
+    ``q_rows`` times (the q_rows=8 unroll crashed Mosaic; the vectorized
+    form compiles and runs it)."""
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     ngr = pl.num_programs(1)
     total = pl.num_programs(0) * ngr
     d = q_ref.shape[-1]
     gn = group * block_n
+    rr = q_rows * block_m
     stride = 2 * row_size
     step = bh * ngr + qi
     parity = jax.lax.rem(step, 2)
@@ -453,12 +461,15 @@ def _kernel_grouped(
     q_all = q_all.astype(kv_buf.dtype)
 
     neg_inf = jnp.float32(-1e30)
-    m0 = jnp.full((q_rows, block_m, 128), neg_inf, jnp.float32)
-    l0 = jnp.zeros((q_rows, block_m, 128), jnp.float32)
-    acc0 = jnp.zeros((q_rows, block_m, d), jnp.float32)
+    m0 = jnp.full((rr, 128), neg_inf, jnp.float32)
+    l0 = jnp.zeros((rr, 128), jnp.float32)
+    acc0 = jnp.zeros((rr, d), jnp.float32)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, gn), 1)
     lane = jax.lax.rem(col, block_n)
+    # query-block row index within the group: rows r*block_m..(r+1)*block_m
+    # belong to query block qi*q_rows + r
+    row_of = jax.lax.broadcasted_iota(jnp.int32, (rr, 1), 0) // block_m
 
     def compute_group(j, slot, carry):
         m_prev, l_prev, acc = carry
@@ -477,32 +488,26 @@ def _kernel_grouped(
         in_list = (j * group + seg) < n
         in_seq = blk_col * block_n + lane < seqlen
 
-        m_out, l_out, acc_out = [], [], []
-        for r in range(q_rows):
-            qr = q_all[r * block_m:(r + 1) * block_m]
-            qk = jax.lax.dot_general(
-                qr, kb, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            member = (memb_col >> r) & 1 == 1
-            valid = in_list & in_seq & member
-            if text_amp != 0.0:
-                amp_on = jnp.logical_and(
-                    qi * q_rows + r < text_start_block,
-                    blk_col >= text_start_block)
-                qk = qk + jnp.where(amp_on, jnp.float32(text_amp), 0.0)
-            qk = jnp.where(valid, qk, neg_inf)
-            m_cur = jnp.max(qk, axis=-1, keepdims=True)
-            m_next = jnp.maximum(m_prev[r], m_cur)
-            alpha = jnp.exp2(m_prev[r] - m_next)
-            p = jnp.exp2(qk - m_next[:, :1])
-            l_next = l_prev[r] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            a_next = acc[r] * alpha[:, :1] + jax.lax.dot_general(
-                p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            m_out.append(m_next)
-            l_out.append(l_next)
-            acc_out.append(a_next)
-        return (jnp.stack(m_out), jnp.stack(l_out), jnp.stack(acc_out))
+        qk = jax.lax.dot_general(
+            q_all, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (rr, gn)
+        member = ((memb_col >> row_of) & 1) == 1       # (rr, gn)
+        valid = jnp.logical_and(jnp.logical_and(in_list, in_seq), member)
+        if text_amp != 0.0:
+            amp_on = jnp.logical_and(
+                qi * q_rows + row_of < text_start_block,
+                blk_col >= text_start_block)
+            qk = qk + jnp.where(amp_on, jnp.float32(text_amp), 0.0)
+        qk = jnp.where(valid, qk, neg_inf)
+        m_cur = jnp.max(qk, axis=-1, keepdims=True)     # (rr, 1)
+        m_next = jnp.maximum(m_prev, m_cur)             # (rr, 128)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(qk - m_next[:, :1])
+        l_next = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha[:, :1] + jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_next, l_next, acc
 
     def wslot(j):
         m_ = jax.lax.rem(j - 1, 3)
@@ -531,10 +536,8 @@ def _kernel_grouped(
         return compute_group(j, wslot(j), carry)
 
     m, l, acc = jax.lax.fori_loop(1, n_groups, body, carry)
-    for r in range(q_rows):
-        l_safe = jnp.where(l[r, :, :1] == 0.0, 1.0, l[r, :, :1])
-        o_ref[0, r * block_m:(r + 1) * block_m] = (
-            acc[r] / l_safe).astype(o_ref.dtype)
+    l_safe = jnp.where(l[:, :1] == 0.0, 1.0, l[:, :1])
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -562,12 +565,18 @@ def block_sparse_attention_grouped(
     overlap (production-local attention)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    if not 1 <= q_rows <= 4:
-        # q_rows=4 already brings the union within ~1% of the per-row
-        # density under local selection; 8 blows Mosaic's compile (v5e)
-        raise ValueError(f"q_rows must be in [1, 4], got {q_rows}")
+    if not 1 <= q_rows <= 8:
+        raise ValueError(f"q_rows must be in [1, 8], got {q_rows}")
     if group is None:
+        # the (q_rows*128, group*128) f32 logits + probs must fit VMEM
+        # (~16MB/core) next to the 4-slot KV scratch: halve the KV group
+        # width past q_rows=4, and again for >2-byte KV dtypes (f32 tests;
+        # production runs bf16) whose packed scratch is twice the size.
         group = max(4, 2048 // max(q.shape[-1], 128))
+        if q_rows > 4:
+            group = max(4, group // 2)
+        if jnp.dtype(k.dtype).itemsize > 2:
+            group = max(4, group // (2 if q_rows == 1 else 4))
     b, h, s, d = q.shape
     skv = k.shape[2]
     block_m = DEFAULT_BLOCK

@@ -33,6 +33,15 @@ __all__ = ["dense_attention", "attention_bshd"]
 _FLASH_MIN_SEQ = 1024  # below this, XLA-fused jnp attention wins
 
 
+def _masked_softmax(logits):
+    """Softmax that returns all-zero weights (not NaN) for rows whose every
+    logit is masked to -inf — a sample with ``kv_len == 0`` would otherwise
+    poison the output (same guard as ``ring._partial_attn``)."""
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - jnp.where(jnp.isfinite(m), m, 0.0))
+    return p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+
+
 def _jnp_attention(q, k, v, sm_scale, kv_len=None, q_chunk=4096):
     """Chunked dense attention in plain jnp (any backend, any seq length)."""
     b, h, sq, d = q.shape
@@ -46,7 +55,7 @@ def _jnp_attention(q, k, v, sm_scale, kv_len=None, q_chunk=4096):
                             k.astype(jnp.float32)) * sm_scale
         if kmask is not None:
             logits = jnp.where(kmask, logits, -jnp.inf)
-        p = jax.nn.softmax(logits, axis=-1)
+        p = _masked_softmax(logits)
         return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
 
     if sq <= q_chunk:
@@ -138,7 +147,7 @@ def dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             mask = mask & (jnp.arange(k.shape[2])[None]
                            < kv_len[:, None])[:, None, None]
         logits = jnp.where(mask, logits, -jnp.inf)
-        p = jax.nn.softmax(logits, axis=-1)
+        p = _masked_softmax(logits)
         return jnp.einsum("bhqk,bhkd->bhqd", p,
                           v.astype(jnp.float32)).astype(q.dtype)
     return _jnp_attention(q, k, v, sm_scale, kv_len=kv_len)

@@ -227,12 +227,17 @@ def pack_block_lists_grouped(mask: jax.Array, group_q: int,
                                                           :, None]
     memb = jnp.sum(g.astype(jnp.int32) * weights, axis=3)   # [..., nkb]
 
+    # One composite-key sort instead of argsort + two gathers: the sort
+    # key (column id, offset by nkb when unselected so selected ids
+    # compact to the front) rides in the high bits, the <=8-bit
+    # membership word in the low bits (ids are unique, so membership
+    # never affects the order). TPU gathers serialize; bit ops are free.
     cols = jnp.arange(nkb, dtype=jnp.int32)
     keys = jnp.where(union, cols, cols + nkb)
-    order = jnp.argsort(keys, axis=-1)
-    ids = jnp.take_along_axis(jnp.broadcast_to(
-        cols, keys.shape), order, axis=-1)
-    membs = jnp.take_along_axis(memb, order, axis=-1)
+    packed = jnp.sort((keys << 8) | memb, axis=-1)
+    sorted_keys = packed >> 8
+    membs = packed & 0xFF
+    ids = jnp.where(sorted_keys < nkb, sorted_keys, sorted_keys - nkb)
     counts = jnp.sum(union, axis=-1, dtype=jnp.int32)
 
     ids_packed = pack_block_lists(ids, counts, seqlens=seqlens,

@@ -54,12 +54,17 @@ NEGATIVE_PROMPT_I2V = ("deformation, a poor composition and deformed "
 
 # crop/splice geometry per template (constants.py:85-100)
 I2V_TEMPLATE_INFO = {
+    # expected_double_returns: hits the full template yields per sample;
+    # fewer means the prompt was truncated. Only the video branch of the
+    # reference anchor-crops on it (`__init__.py:407-439`), so only
+    # "video" carries the expectation.
     "image": {"template": PROMPT_TEMPLATE_I2V_IMAGE, "crop_start": 36,
               "image_emb_start": 5, "image_emb_end": 581,
               "image_emb_len": 576, "double_return_token_id": 271},
     "video": {"template": PROMPT_TEMPLATE_I2V_VIDEO, "crop_start": 103,
               "image_emb_start": 5, "image_emb_end": 581,
-              "image_emb_len": 576, "double_return_token_id": 271},
+              "image_emb_len": 576, "double_return_token_id": 271,
+              "expected_double_returns": 4},
 }
 
 
@@ -146,7 +151,15 @@ def extract_i2v_tokens(hidden, mask, mode: str = "video",
     shift = info["image_emb_len"] - 1     # <image> -> 576 embeddings
     for i in range(hidden.shape[0]):
         hits = np.nonzero(ids[i] == info["double_return_token_id"])[0]
-        last = int(hits[-1]) if len(hits) else ids.shape[1]
+        # A too-long prompt truncates the assistant header's trailing
+        # double-return: the reference then substitutes the sequence end
+        # as the crop anchor (`__init__.py:411-420`). Anchoring on an
+        # earlier hit would crop 4 tokens out of the middle of the text.
+        expected = info.get("expected_double_returns")
+        if len(hits) == 0 or (expected and len(hits) < expected):
+            last = ids.shape[1]
+        else:
+            last = int(hits[-1])
         acs = last + shift - 4            # assistant crop, spliced coords
         ace = last + shift
         out_h.append(np.concatenate(

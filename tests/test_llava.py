@@ -210,3 +210,27 @@ def test_extract_i2v_assistant_crop():
     expect = list(range(text_start, acs)) + list(range(ace, spliced_len))
     assert txt.tolist() == expect              # exactly 4 positions removed
     assert h.shape[1] == m.shape[1]
+
+
+def test_extract_i2v_truncated_prompt_falls_back_to_seq_end():
+    """Video mode expects 4 double-return hits; a truncated prompt (3 hits,
+    the assistant header's final one cut) anchors the crop at the sequence
+    end instead of an earlier hit (reference `__init__.py:411-420`)."""
+    info = extract_mod.I2V_TEMPLATE_INFO["video"]
+    crop, emb_len = info["crop_start"], info["image_emb_len"]
+    S = 200
+    spliced_len = S - 1 + emb_len
+    hidden = np.arange(spliced_len, dtype=np.float32)[None, :, None]
+    mask = np.ones((1, spliced_len), np.int64)
+    ids = np.zeros((1, S), np.int64)
+    for pos in (10, 40, 90):                   # only 3 hits (truncated)
+        ids[0, pos] = 271
+    h, _ = extract_mod.extract_i2v_tokens(
+        hidden, mask, mode="video", image_embed_interleave=4,
+        token_ids=ids)
+    n_img = len(range(info["image_emb_start"], info["image_emb_end"], 4))
+    txt = h[0, n_img:, 0].astype(int)
+    text_start = crop - 1 + emb_len
+    acs = S + emb_len - 1 - 4                  # anchored at sequence end
+    expect = list(range(text_start, acs))      # the final 4 are cropped
+    assert txt.tolist() == expect

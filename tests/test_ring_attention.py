@@ -139,3 +139,52 @@ def test_ring_zero_joint_keys_no_nan():
     # zero valid joint keys == no joint chunk at all
     ref = ring_attention(q, k, v, mesh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_ring_ulysses_composition_matches_dense():
+    """Explicit 2-D ring x ulysses (world == 2 x 4) with joint text KV
+    equals single-device dense attention — the reference's composition
+    contract (`hyvideo/config.py:451-468`)."""
+    from jenga_tpu.parallel.ring import ring_ulysses_attention
+
+    mesh = make_sp_mesh(ring=2)
+    assert dict(mesh.shape) == {"ring": 2, "sp": 4}
+    b, s, h, d, st = 1, 8 * 32, 4, 32, 16   # heads divide ulysses=4
+    q, k, v = _qkv(jax.random.PRNGKey(5), b, s, h, d)
+    jk = jax.random.normal(jax.random.PRNGKey(6), (b, st, h, d))
+    jv = jax.random.normal(jax.random.PRNGKey(7), (b, st, h, d))
+    out = ring_ulysses_attention(q, k, v, mesh, joint_k=jk, joint_v=jv,
+                                 joint_kv_len=st - 5)
+    kf = jnp.concatenate([k, jk], axis=1)
+    vf = jnp.concatenate([v, jv], axis=1)
+    ref = dense_attention(q.transpose(0, 2, 1, 3), kf.transpose(0, 2, 1, 3),
+                          vf.transpose(0, 2, 1, 3),
+                          kv_len=jnp.array([s + st - 5])
+                          ).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+
+def test_ring_ulysses_rejects_bad_heads():
+    from jenga_tpu.parallel.ring import ring_ulysses_attention
+    import pytest
+
+    mesh = make_sp_mesh(ring=2)
+    q, k, v = _qkv(jax.random.PRNGKey(8), 1, 8 * 16, 3, 16)  # 3 % 4 != 0
+    with pytest.raises(ValueError, match="heads"):
+        ring_ulysses_attention(q, k, v, mesh)
+
+
+def test_mesh_builders_and_init_distributed():
+    """Config plumbing: ring composition contract + single-process
+    init_distributed no-op + multihost mesh shape."""
+    import pytest
+    from jenga_tpu.parallel.mesh import (init_distributed,
+                                         make_multihost_sp_mesh)
+
+    with pytest.raises(ValueError, match="ring"):
+        make_sp_mesh(ring=3)             # 8 % 3 != 0
+    assert init_distributed() == 1       # no coordinator: no-op
+    m = make_multihost_sp_mesh()
+    assert tuple(m.axis_names) == ("dp", "sp")
+    assert m.shape["dp"] == 1 and m.shape["sp"] == 8

@@ -75,7 +75,7 @@ for name, mask in (("local", local), ("random", rand)):
     dens = float(mask.mean())
     t1 = timeit(per_row, q, k, v, lists)
     line = f"{name:6s} density {dens:.3f}: per-row {t1:7.1f} ms"
-    for qr in (2, 4):
+    for qr in (2, 4, 8):
         gl = jax.block_until_ready(pack_block_lists_grouped(mask, qr))
         ufrac = float(gl[..., 0].astype(jnp.float32).mean()) / nb
         tg = timeit(jax.jit(lambda q, k, v, l, qr=qr:
