@@ -45,9 +45,15 @@ and it is reported honestly: ``density`` (per-row selected fraction,
 schedule-controlled by the top-k floor + adjacency + text forcing) and
 ``q4_union_frac`` (mean union fraction of 4-row shared-gather groups —
 equals density when selection is perfectly local, 4x when random).
-With local selection the shared-gather kernel mode (``q_rows`` query
-rows share one union KV gather; bit-identical outputs) is the production
-configuration, and the bench runs it with ``q_rows=4``.
+The headline carved path runs the TPU-tuned production configuration:
+**joint group selection** (``q_rows=4`` query blocks pooled into ONE
+selection per group — planner ``sel_group``) feeding the shared-gather
+kernel's all-member fast path. Joint selection makes the group's union
+equal the per-row density by construction, so the KV gather runs once
+per 4 rows (bytes / 4) at unchanged attention FLOPs; the reference
+always selects per 128-token row, so this is a granularity change
+(512-token query pooling), reported in the metric string and
+fidelity-checked against per-row selection in tools/fidelity_run.py.
 
 Before timing, the block-sparse Pallas kernel is numerics-checked on the
 chip against the dense jnp reference (``kernel_max_err`` in the JSON).
@@ -92,8 +98,9 @@ STAGE_SPLIT = 25             # step-rate-list "0.5 1.0" of 50 steps
 def kernel_numerics_check(q_rows: int):
     """Pallas block-sparse kernel vs dense masked reference on the chip at
     a production-like shape (head_dim 128, text bias + seqlen masking).
-    Checks BOTH the per-row kernel and, when the headline path uses it,
-    the shared-gather (q_rows) kernel; returns the worse error."""
+    Checks the per-row kernel and, when the headline path uses it, the
+    shared-gather kernel in BOTH encodings (membership lists and the
+    joint all-member layout); returns the worst error."""
     from jenga_tpu.ops.attention_ref import block_sparse_attention_reference
     from jenga_tpu.ops.block_sparse_attention import (
         block_sparse_attention, block_sparse_attention_grouped)
@@ -123,6 +130,19 @@ def kernel_numerics_check(q_rows: int):
             q, k, v, glists, q_rows=q_rows, text_amp=1.25,
             text_start_block=nb - 2)
         err = max(err, float(jnp.max(jnp.abs(gout - ref))))
+        # joint (all-member) layout: group-uniform mask, plain lists
+        umask = jnp.repeat(
+            jnp.any(mask.reshape(b, h, nb // q_rows, q_rows, nb), axis=3),
+            q_rows, axis=2)
+        uref = block_sparse_attention_reference(
+            q, k, v, umask, text_amp=1.25, text_start_block=nb - 2,
+            seqlen=jnp.array([s - 37]))
+        ulists = pack_block_lists(
+            *mask_to_block_lists(umask[:, :, ::q_rows]), seqlens=s - 37)
+        uout = block_sparse_attention_grouped(
+            q, k, v, ulists, q_rows=q_rows, text_amp=1.25,
+            text_start_block=nb - 2, all_member=True)
+        err = max(err, float(jnp.max(jnp.abs(uout - uref))))
     return err
 
 
@@ -196,10 +216,11 @@ def main():
         HYVIDEO_NON_SKIP_STEPS, fixed_compute_schedule)
     from jenga_tpu.models import hyvideo as hy
 
-    # Shared-gather width of the headline carved path (1 = per-row kernel);
-    # production-local selection statistics make q_rows=4 the fastest mode
-    # (tools/grouped_kernel_bench.py) and it is output-identical.
-    q_rows = int(os.environ.get("BENCH_QROWS", "1"))
+    # Shared-gather width of the headline carved path (1 = per-row kernel,
+    # the reference-exact selection). Default 4 with joint group selection:
+    # measured 567 -> ~425 ms/layer-kernel at Jenga-Base density
+    # (tools/grouped_kernel_bench.py).
+    q_rows = int(os.environ.get("BENCH_QROWS", "4"))
 
     kerr = -1.0
     if jax.default_backend() != "cpu":
@@ -255,7 +276,8 @@ def main():
 
     iters = 1 if QUICK else 2
     carve = hy.make_hy_carve(cfg, plan, sa_drop_rate=0.75, p_remain=0.05,
-                             txt_block_num=2, q_rows=q_rows)
+                             txt_block_num=2, q_rows=q_rows,
+                             joint_sel=q_rows > 1)
     dense_carve = dataclasses.replace(carve, sa_drop_rate=0.0)
     nqb = plan.seq_len // 128
     tk75 = jnp.int32(int(0.25 * nqb))
@@ -339,15 +361,17 @@ def main():
     dense_clip = STEPS * step_dense
     speedup = dense_clip / carved_clip
 
+    sel_desc = ("joint {}-row group selection".format(q_rows)
+                if q_rows > 1 else "per-row selection")
     print(json.dumps({
         "metric": "HunyuanVideo T2V 720px125f 50-step DiT s/clip, Jenga-Base "
-                  "carving (drop .75/.85) + fixed-skip ({}+{} computed, {} "
-                  "skipped), measured at {}/60 trunk depth on one v5e and "
+                  "carving (drop .75/.85, {}) + fixed-skip ({}+{} computed, "
+                  "{} skipped), measured at {}/60 trunk depth on one v5e and "
                   "extrapolated; our dense {:.0f}s; speedup {:.2f}x "
                   "(ref 5.24x on H800); per-step carved {:.2f}/{:.2f}s "
                   "dense {:.2f}s skip {:.3f}s".format(
-                      n75, n85, n_skip, dbl + sgl, dense_clip, speedup,
-                      step_c75, step_c85, step_dense, t_skip),
+                      sel_desc, n75, n85, n_skip, dbl + sgl, dense_clip,
+                      speedup, step_c75, step_c85, step_dense, t_skip),
         "value": round(carved_clip, 2),
         "unit": "s/clip",
         "kernel_max_err": round(kerr, 5),

@@ -96,6 +96,12 @@ class HYCarve:
     q_rows: int = 1     # >1: shared-gather kernel (q_rows query blocks
                         # share one union block list — wins when selection
                         # is local, i.e. with real checkpoints)
+    joint_sel: bool = False  # q_rows>1 only: joint group selection — the
+                        # planner pools queries at q_rows*128 granularity
+                        # so the group's list IS every row's selection
+                        # (union == density; gather bytes / q_rows). The
+                        # TPU-tuned production mode; False keeps the
+                        # reference's exact per-128-row selection.
 
 
 jax.tree_util.register_dataclass(
@@ -103,7 +109,7 @@ jax.tree_util.register_dataclass(
     data_fields=["curve_order", "inverse_order", "block_neighbors",
                  "rope_cos", "rope_sin"],
     meta_fields=["sa_drop_rate", "p_remain", "text_amp", "txt_block_num",
-                 "q_rows"])
+                 "q_rows", "joint_sel"])
 
 
 def hy_rope_tables(cfg: HYVideoConfig, grid: tuple[int, int, int],
@@ -121,7 +127,7 @@ def make_hy_carve(cfg: HYVideoConfig, plan, sa_drop_rate: float,
                   p_remain: float, text_amp: float = 0.0,
                   txt_block_num: int = 2,
                   positions: tuple | None = None,
-                  q_rows: int = 1) -> HYCarve:
+                  q_rows: int = 1, joint_sel: bool = False) -> HYCarve:
     cos, sin = hy_rope_tables(cfg, plan.grid, order=plan.curve_order,
                               positions=positions)
     # device arrays: see make_wan_carve — avoids giant HLO literals.
@@ -131,7 +137,8 @@ def make_hy_carve(cfg: HYVideoConfig, plan, sa_drop_rate: float,
                    rope_cos=jnp.asarray(cos), rope_sin=jnp.asarray(sin),
                    sa_drop_rate=float(sa_drop_rate),
                    p_remain=float(p_remain), text_amp=float(text_amp),
-                   txt_block_num=int(txt_block_num), q_rows=int(q_rows))
+                   txt_block_num=int(txt_block_num), q_rows=int(q_rows),
+                   joint_sel=bool(joint_sel))
 
 
 # --------------------------------------------------------------- params
@@ -396,24 +403,27 @@ def _joint_attention(q, k, v, cfg: HYVideoConfig, carve: HYCarve | None,
             top_k=top_k, p_remain=carve.p_remain, seqlen=seqlen,
             text_start_block=tsb, text_blocks=carve.txt_block_num,
             text_amp=carve.text_amp,
-            q_rows=max(1, int(getattr(carve, "q_rows", 1))))
+            q_rows=max(1, int(getattr(carve, "q_rows", 1))),
+            joint_sel=bool(getattr(carve, "joint_sel", False)))
         return out[:, :s].reshape(b, s, n * hd)
 
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
+    qr = max(1, int(carve.q_rows))
+    joint = qr > 1 and bool(getattr(carve, "joint_sel", False))
     mask = build_block_mask(
         qt[:, :, :tsb * 128], kt, top_k=top_k, p_remain=carve.p_remain,
         text_start_block=tsb, text_blocks=carve.txt_block_num,
-        block_neighbors=jnp.asarray(carve.block_neighbors))
+        block_neighbors=jnp.asarray(carve.block_neighbors),
+        sel_group=qr if joint else 1)
     full = jnp.ones((b, n, num_blocks - tsb, num_blocks), bool)
     mask = jnp.concatenate([mask, full], axis=2)
-    qr = max(1, int(carve.q_rows))
     if qr > 1:
         from ..ops.block_sparse_attention import grouped_attention_from_mask
         out = grouped_attention_from_mask(
             qt, kt, vt, mask, q_rows=qr, seqlens=seqlen,
-            text_start_block=tsb, text_amp=carve.text_amp)
+            text_start_block=tsb, text_amp=carve.text_amp, joint=joint)
         return out.transpose(0, 2, 1, 3)[:, :s].reshape(b, s, n * hd)
     lists = pack_block_lists(*mask_to_block_lists(mask), seqlens=seqlen)
     out = block_sparse_attention(
@@ -675,10 +685,13 @@ def hy_first_selection_mask(params, cfg: HYVideoConfig, x, t, text_states,
         top_k = int((1.0 - carve.sa_drop_rate) * (si // 128))
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
+    qr = max(1, int(getattr(carve, "q_rows", 1)))
+    joint = qr > 1 and bool(getattr(carve, "joint_sel", False))
     return build_block_mask(
         qt[:, :, :tsb * 128], kt, top_k=top_k, p_remain=carve.p_remain,
         text_start_block=tsb, text_blocks=carve.txt_block_num,
-        block_neighbors=jnp.asarray(carve.block_neighbors))
+        block_neighbors=jnp.asarray(carve.block_neighbors),
+        sel_group=qr if joint else 1)
 
 
 def hyvideo_forward(params, cfg: HYVideoConfig, x, t, text_states,

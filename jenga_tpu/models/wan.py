@@ -101,6 +101,9 @@ class WanCarve:
     q_rows: int = 1                 # >1: shared-gather kernel (union list
                                     # per q_rows query blocks; wins with
                                     # real checkpoints' local attention)
+    joint_sel: bool = False         # q_rows>1 only: joint group selection
+                                    # (planner pools queries per group so
+                                    # union == density; see HYCarve)
 
 
 jax.tree_util.register_dataclass(
@@ -108,7 +111,7 @@ jax.tree_util.register_dataclass(
     data_fields=["curve_order", "inverse_order", "block_neighbors",
                  "rope_cos", "rope_sin"],
     meta_fields=["sa_drop_rate", "p_remain", "first_frame_blocks",
-                 "seqlen", "q_rows"])
+                 "seqlen", "q_rows", "joint_sel"])
 
 
 def wan_rope_tables(cfg: WanConfig, grid: tuple[int, int, int],
@@ -127,7 +130,8 @@ def wan_rope_tables(cfg: WanConfig, grid: tuple[int, int, int],
 
 
 def make_wan_carve(cfg: WanConfig, plan, sa_drop_rate: float,
-                   p_remain: float, q_rows: int = 1) -> WanCarve:
+                   p_remain: float, q_rows: int = 1,
+                   joint_sel: bool = False) -> WanCarve:
     """Assemble the per-stage carving spec from a ``CurvePlan``.
 
     ``first_frame_blocks = num_blocks // 21`` keeps the first-frame blocks
@@ -149,7 +153,7 @@ def make_wan_carve(cfg: WanConfig, plan, sa_drop_rate: float,
         sa_drop_rate=float(sa_drop_rate), p_remain=float(p_remain),
         first_frame_blocks=num_blocks // 21,
         seqlen=s,
-        q_rows=int(q_rows))
+        q_rows=int(q_rows), joint_sel=bool(joint_sel))
 
 
 def _linear_init(key, d_in, d_out, dtype, scale=None, zero=False, bias=True):
@@ -283,7 +287,9 @@ def _self_attention(p, x, cfg: WanConfig, carve: WanCarve | None,
             first_frame_blocks=0 if carve is None
             else carve.first_frame_blocks,
             q_rows=1 if carve is None
-            else max(1, int(getattr(carve, "q_rows", 1))))
+            else max(1, int(getattr(carve, "q_rows", 1))),
+            joint_sel=False if carve is None
+            else bool(getattr(carve, "joint_sel", False)))
         return L.linear(p["o"], out.reshape(b, s, d))
 
     q = L.apply_rope(q, rope_cos, rope_sin)
@@ -300,19 +306,21 @@ def _self_attention(p, x, cfg: WanConfig, carve: WanCarve | None,
             # reference floor semantics: int(num_blocks * (1 - drop))
             # (`/root/reference/wan/modules/model_mul.py:164`)
             top_k = int(num_blocks * (1.0 - carve.sa_drop_rate))
+        qr = max(1, int(getattr(carve, "q_rows", 1)))
+        joint = qr > 1 and bool(getattr(carve, "joint_sel", False))
         mask = build_block_mask(
             qt, kt,
             top_k=top_k, p_remain=carve.p_remain,
             text_start_block=num_blocks, text_blocks=0,
             block_neighbors=carve.block_neighbors,
-            first_frame_blocks=carve.first_frame_blocks)
-        qr = max(1, int(getattr(carve, "q_rows", 1)))
+            first_frame_blocks=carve.first_frame_blocks,
+            sel_group=qr if joint else 1)
         if qr > 1:
             from ..ops.block_sparse_attention import \
                 grouped_attention_from_mask
             out = grouped_attention_from_mask(
                 qt, kt, vt, mask, q_rows=qr, seqlens=carve.seqlen,
-                text_start_block=num_blocks)
+                text_start_block=num_blocks, joint=joint)
             out = out.transpose(0, 2, 1, 3)
         else:
             lists = pack_block_lists(*mask_to_block_lists(mask),

@@ -372,6 +372,7 @@ def _kernel_grouped(
     row_size: int,          # ids-half stride; full row = 2*row_size
     group: int,
     q_rows: int,
+    all_member: bool,
 ):
     """Shared-gather variant: ``q_rows`` query blocks per grid step share
     one union block list (see planner.pack_block_lists_grouped); each
@@ -379,6 +380,12 @@ def _kernel_grouped(
     with the per-row kernel. DMA pipeline mirrors `_kernel` (2-deep
     within-row rotation over slots {0,1,3}, cross-step group-0 in slot
     2), with the list DMA amortized over ``q_rows`` outputs.
+
+    ``all_member=True`` is the joint-selection fast path (planner
+    ``sel_group``): every row of the group attends every listed block, so
+    the list carries no membership half (plain ``pack_block_lists``
+    layout, stride = row_size) and the kernel skips the per-row member
+    mask entirely.
 
     All ``q_rows`` query blocks are processed as ONE ``(q_rows*block_m,
     group*block_n)`` matmul + masked streaming softmax — the row axis is
@@ -393,7 +400,7 @@ def _kernel_grouped(
     d = q_ref.shape[-1]
     gn = group * block_n
     rr = q_rows * block_m
-    stride = 2 * row_size
+    stride = row_size if all_member else 2 * row_size
     step = bh * ngr + qi
     parity = jax.lax.rem(step, 2)
 
@@ -478,21 +485,24 @@ def _kernel_grouped(
         kb = kv_buf[slot, :, :d]
         vb = kv_buf[slot, :, d:]
         blk_ids = [blk_of(parity, j, g) for g in range(group)]
-        memb_ids = [memb_of(parity, j, g) for g in range(group)]
         seg = col // block_n
         blk_col = jnp.zeros((1, gn), jnp.int32)
-        memb_col = jnp.zeros((1, gn), jnp.int32)
         for g in range(group):
             blk_col = jnp.where(seg == g, blk_ids[g], blk_col)
-            memb_col = jnp.where(seg == g, memb_ids[g], memb_col)
         in_list = (j * group + seg) < n
         in_seq = blk_col * block_n + lane < seqlen
 
         qk = jax.lax.dot_general(
             q_all, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)        # (rr, gn)
-        member = ((memb_col >> row_of) & 1) == 1       # (rr, gn)
-        valid = jnp.logical_and(jnp.logical_and(in_list, in_seq), member)
+        valid = jnp.logical_and(in_list, in_seq)       # (1, gn) broadcast
+        if not all_member:
+            memb_ids = [memb_of(parity, j, g) for g in range(group)]
+            memb_col = jnp.zeros((1, gn), jnp.int32)
+            for g in range(group):
+                memb_col = jnp.where(seg == g, memb_ids[g], memb_col)
+            member = ((memb_col >> row_of) & 1) == 1   # (rr, gn)
+            valid = jnp.logical_and(valid, member)
         if text_amp != 0.0:
             amp_on = jnp.logical_and(
                 qi * q_rows + row_of < text_start_block,
@@ -543,12 +553,13 @@ def _kernel_grouped(
 @functools.partial(
     jax.jit,
     static_argnames=("q_rows", "sm_scale", "text_amp", "text_start_block",
-                     "block_n", "group", "interpret"))
+                     "block_n", "group", "interpret", "all_member"))
 def block_sparse_attention_grouped(
     q: jax.Array,            # [B, H, S, D], S a multiple of q_rows*128
     k: jax.Array,
     v: jax.Array,
     block_lists: jax.Array,  # [B, H, S//(q_rows*128), 2*row] grouped layout
+                             # (all_member=True: [B, H, ngr, row], no memb)
     *,
     q_rows: int,
     sm_scale: float | None = None,
@@ -557,12 +568,17 @@ def block_sparse_attention_grouped(
     block_n: int = DEFAULT_BLOCK,
     group: int | None = None,
     interpret: bool | None = None,
+    all_member: bool = False,
 ) -> jax.Array:
     """Shared-gather block-sparse attention: ``q_rows`` query blocks per
     grid step share one union block list (planner
     ``pack_block_lists_grouped``). Exact same outputs as the per-row
     kernel; the win is HBM traffic when adjacent rows' selections
-    overlap (production-local attention)."""
+    overlap (production-local attention).
+
+    ``all_member=True``: joint-selection lists (``pack_block_lists`` of a
+    group-level mask) where every row attends every listed block — the
+    membership half and its per-row mask are skipped."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if not 1 <= q_rows <= 8:
@@ -592,11 +608,12 @@ def block_sparse_attention_grouped(
             jnp.pad(q, padcfg), jnp.pad(k, padcfg), jnp.pad(v, padcfg),
             block_lists, q_rows=q_rows, sm_scale=sm_scale,
             text_amp=text_amp, text_start_block=text_start_block,
-            block_n=block_n, group=group, interpret=interpret)
+            block_n=block_n, group=group, interpret=interpret,
+            all_member=all_member)
         return out[..., :d]
     ngr = s // (block_m * q_rows)
     stride = block_lists.shape[-1]
-    row_size = stride // 2
+    row_size = stride if all_member else stride // 2
     if row_size % 1024:
         raise ValueError(f"packed row half must be 1024-aligned, got "
                          f"{row_size}")
@@ -612,7 +629,7 @@ def block_sparse_attention_grouped(
         sm_scale=float(sm_scale), text_amp=float(text_amp),
         text_start_block=int(text_start_block),
         block_m=block_m, block_n=block_n, row_size=row_size,
-        group=int(group), q_rows=int(q_rows))
+        group=int(group), q_rows=int(q_rows), all_member=bool(all_member))
 
     out = pl.pallas_call(
         kernel,
@@ -644,14 +661,23 @@ def block_sparse_attention_grouped(
 
 def grouped_attention_from_mask(qt, kt, vt, mask, *, q_rows: int,
                                 seqlens=None, text_start_block: int = 0,
-                                text_amp: float = 0.0):
+                                text_amp: float = 0.0, joint: bool = False):
     """Model-side helper for the shared-gather mode: ceil-pad the query
     rows of ``mask``/``qt`` to a ``q_rows`` multiple (empty rows give
     zero outputs, sliced off), pack the grouped union lists, run the
     grouped kernel, and slice back to the original length. One home for
     the pad/pack/call/slice sequence so the HY and Wan callers cannot
-    drift."""
-    from ..sparse.planner import pack_block_lists_grouped
+    drift.
+
+    ``joint=True``: the mask came from joint group selection (planner
+    ``sel_group == q_rows``) — every row of a group attends the group's
+    union, so the lists are packed WITHOUT membership words and the
+    kernel runs its all-member fast path. Any row whose group's union
+    exceeds its own mask row (a video/text boundary group, or padded
+    rows) attends the union — a superset, by construction of joint
+    selection only at those boundaries."""
+    from ..sparse.planner import (mask_to_block_lists, pack_block_lists,
+                                  pack_block_lists_grouped)
 
     s = qt.shape[2]
     nqb = mask.shape[2]
@@ -660,8 +686,16 @@ def grouped_attention_from_mask(qt, kt, vt, mask, *, q_rows: int,
         mask = jnp.pad(mask, ((0, 0), (0, 0), (0, nb_pad - nqb), (0, 0)))
         qt = jnp.pad(qt, ((0, 0), (0, 0), (0, (nb_pad - nqb) * 128),
                           (0, 0)))
-    glists = pack_block_lists_grouped(mask, q_rows, seqlens=seqlens)
+    if joint:
+        b_, h_, nb_, nkb = mask.shape
+        union = jnp.any(
+            mask.reshape(b_, h_, nb_ // q_rows, q_rows, nkb), axis=3)
+        glists = pack_block_lists(*mask_to_block_lists(union),
+                                  seqlens=seqlens)
+    else:
+        glists = pack_block_lists_grouped(mask, q_rows, seqlens=seqlens)
     out = block_sparse_attention_grouped(
         qt, kt, vt, glists, q_rows=q_rows,
-        text_start_block=text_start_block, text_amp=text_amp)
+        text_start_block=text_start_block, text_amp=text_amp,
+        all_member=joint)
     return out[:, :, :s]

@@ -51,6 +51,7 @@ def ulysses_self_attention(
     text_amp: float = 0.0,
     first_frame_blocks: int = 0,
     q_rows: int = 1,
+    joint_sel: bool = False,
 ):
     """Sequence-parallel (carved) self-attention.
 
@@ -84,12 +85,14 @@ def ulysses_self_attention(
             nkb = s // 128
             tsb = text_start_block if text_start_block is not None else nkb
             nqb_video = tsb
+            joint = q_rows > 1 and joint_sel
             mask = build_block_mask(
                 qt[:, :, :nqb_video * 128], kt,
                 top_k=top_k_arr, p_remain=p_remain,
                 text_start_block=tsb, text_blocks=text_blocks,
                 block_neighbors=block_neighbors,
-                first_frame_blocks=first_frame_blocks)
+                first_frame_blocks=first_frame_blocks,
+                sel_group=q_rows if joint else 1)
             if tsb < nkb:
                 # text query rows attend densely: full index lists
                 full = jnp.ones((*mask.shape[:2], nkb - tsb, nkb), bool)
@@ -99,7 +102,7 @@ def ulysses_self_attention(
                 # shard holds the full sequence for its local heads
                 out = grouped_attention_from_mask(
                     qt, kt, vt, mask, q_rows=q_rows, seqlens=seqlens,
-                    text_start_block=tsb, text_amp=text_amp)
+                    text_start_block=tsb, text_amp=text_amp, joint=joint)
             else:
                 lists = pack_block_lists(*mask_to_block_lists(mask),
                                          seqlens=seqlens)

@@ -124,7 +124,8 @@ class HYVideoI2VPipeline(HYVideoT2VPipeline):
                 opts.sa_drop_rates[min(si, len(opts.sa_drop_rates) - 1)],
                 opts.p_remain, text_amp=text_amp,
                 txt_block_num=opts.txt_block_num,
-                q_rows=getattr(opts, "q_group", 1))
+                q_rows=getattr(opts, "q_group", 1),
+                joint_sel=getattr(opts, "joint_sel", True))
             stage_data.append((lat, grid, carve,
                                self._stage_fns(carve)))
 

@@ -59,6 +59,10 @@ class HYT2VOptions:
     q_group: int = 1    # >1: shared-gather attention kernel (union block
                         # list per q_group query blocks; wins with real
                         # checkpoints whose attention is local)
+    joint_sel: bool = True   # q_group>1: joint group selection (one pooled
+                        # selection per q_group rows; union == density so
+                        # gather bytes drop q_group x). False = exact
+                        # reference per-128-row selection with union lists.
 
 
 class HYVideoT2VPipeline:
@@ -168,7 +172,8 @@ class HYVideoT2VPipeline:
                 cfg, plan, opts.sa_drop_rates[min(si, len(
                     opts.sa_drop_rates) - 1)],
                 opts.p_remain, text_amp=text_amp,
-                txt_block_num=opts.txt_block_num, q_rows=opts.q_group)
+                txt_block_num=opts.txt_block_num, q_rows=opts.q_group,
+                joint_sel=getattr(opts, "joint_sel", True))
             stage_data.append((lat, grid, carve,
                                self._stage_fns(carve)))
 

@@ -120,9 +120,10 @@ class WanI2VPipeline(WanT2VPipeline):
 
         grid = (t_lat, lat_h // 2, lat_w // 2)
         plan = build_curve_plan(grid, opts.curve, 128)
-        carve = wan_lib.make_wan_carve(cfg, plan, opts.sa_drop_rates[0],
-                                       opts.p_remain,
-                                       q_rows=getattr(opts, "q_group", 1))
+        carve = wan_lib.make_wan_carve(
+            cfg, plan, opts.sa_drop_rates[0], opts.p_remain,
+            q_rows=getattr(opts, "q_group", 1),
+            joint_sel=getattr(opts, "joint_sel", True))
         full, full_dense, skipped = self._stage_fns_i2v(carve)
 
         mk_sched, mk_init, do_step, _, _ = _solver(opts.solver)

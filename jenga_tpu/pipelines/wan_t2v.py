@@ -72,6 +72,7 @@ class WanT2VOptions:
     curve: str = "sliced"
     seed: int = 0
     q_group: int = 1    # >1: shared-gather attention (see HYT2VOptions)
+    joint_sel: bool = True   # see HYT2VOptions.joint_sel
 
 
 class WanT2VPipeline:
@@ -223,9 +224,10 @@ class WanT2VPipeline:
         def stage_setup(shape):
             grid = self._token_grid((c,) + shape)
             plan = build_curve_plan(grid, opts.curve, 128)
-            carve = wan_lib.make_wan_carve(cfg, plan, opts.sa_drop_rates[0],
-                                           opts.p_remain,
-                                           q_rows=opts.q_group)
+            carve = wan_lib.make_wan_carve(
+                cfg, plan, opts.sa_drop_rates[0], opts.p_remain,
+                q_rows=opts.q_group,
+                joint_sel=getattr(opts, "joint_sel", True))
             return carve, self._stage_fns(carve)
 
         carve0, fns0 = stage_setup((f, lh0, lw0))

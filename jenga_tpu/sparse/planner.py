@@ -45,6 +45,7 @@ def build_block_mask(
     block_neighbors: jax.Array | None,  # [nb, nb] bool (video blocks)
     block_size: int = 128,
     first_frame_blocks: int = 0,
+    sel_group: int = 1,
 ) -> jax.Array:
     """One-hot selection mask ``[B, H, num_q_blocks, num_kv_blocks]`` (bool).
 
@@ -53,6 +54,18 @@ def build_block_mask(
     threshold. Key blocks beyond ``text_start_block`` are condition/text
     blocks: excluded from the probability competition and forced on at the
     end.
+
+    ``sel_group > 1`` enables **joint group selection**, the TPU-tuned
+    carving granularity: queries are pooled over ``sel_group`` consecutive
+    128-token blocks and one selection is made per group, so every row in a
+    group shares an identical block set. This makes the shared-gather
+    kernel's union equal the per-row density — gather bytes drop by
+    ``sel_group``x at unchanged attention FLOPs. The reference always
+    selects per 128-token row (`attention_block_triton_diffres.py:198-295`);
+    group selection is a coarser-granularity variant of the same pooled-QK
+    estimator (adjacency and first-frame forcing become group-level unions,
+    i.e. supersets of the per-row guarantees). Fidelity vs per-row
+    selection is measured in tools/fidelity_run.py.
     """
     b, h, sq, d = q.shape
     nqb = sq // block_size
@@ -60,6 +73,16 @@ def build_block_mask(
 
     q_pool = q.reshape(b, h, nqb, block_size, d).mean(axis=3)
     k_pool = k.reshape(b, h, nkb, block_size, d).mean(axis=3)
+
+    g = max(1, int(sel_group))
+    ngq = -(-nqb // g)
+    if g > 1:
+        # group-pool the per-row pooled queries; a ragged tail group
+        # averages only its real rows.
+        pad = ngq * g - nqb
+        qp = jnp.pad(q_pool, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        cnt = jnp.clip(nqb - jnp.arange(ngq) * g, 1, g).astype(jnp.float32)
+        q_pool = qp.reshape(b, h, ngq, g, d).sum(axis=3) / cnt[:, None]
 
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q_pool, k_pool,
@@ -82,12 +105,29 @@ def build_block_mask(
     if block_neighbors is not None:
         neighbor = jnp.asarray(
             block_neighbors)[:nqb, :text_start_block].astype(bool)
+        if g > 1:
+            # group-level adjacency: the union of the member rows' 26-
+            # neighborhoods (a superset of each row's own guarantee), so
+            # rows within a group stay identical.
+            neighbor = jnp.pad(neighbor, ((0, ngq * g - nqb), (0, 0)))
+            neighbor = jnp.any(neighbor.reshape(ngq, g, -1), axis=1)
         video_mask = video_mask | neighbor[None, None]
+
+    if first_frame_blocks > 0 and g > 1:
+        # First-frame forcing at group granularity: every group that
+        # contains a first-frame query row sees all first-frame blocks
+        # (superset of reference J17; keeps group rows identical).
+        ff_rows = -(-first_frame_blocks // g)
+        video_mask = video_mask.at[
+            :, :, :ff_rows, :first_frame_blocks].set(True)
+
+    if g > 1:
+        video_mask = jnp.repeat(video_mask, g, axis=2)[:, :, :nqb]
 
     mask = jnp.zeros((b, h, nqb, nkb), dtype=bool)
     mask = mask.at[..., :text_start_block].set(video_mask)
 
-    if first_frame_blocks > 0:
+    if first_frame_blocks > 0 and g == 1:
         # First-frame query blocks always see every first-frame key block
         # (fixes the Wan first-frame artifact, reference J17).
         mask = mask.at[:, :, :first_frame_blocks, :first_frame_blocks].set(True)

@@ -89,6 +89,50 @@ class TestPlanner:
                                 block_neighbors=None, first_frame_blocks=ffb)
         assert bool(mask[:, :, :ffb, :ffb].all())
 
+    def test_sel_group_rows_uniform_and_supersets(self):
+        """Joint group selection: rows within a group identical; adjacency
+        becomes the union of member-row neighborhoods (a superset of each
+        row's own 26-neighborhood); group-level floor respected."""
+        plan = build_curve_plan((4, 16, 16), "gilbert", BM)
+        nqb = plan.num_blocks
+        s = nqb * BM
+        g = 2
+        q, k, _ = _qkv(self.key, 1, 2, s + 2 * BM, 64)
+        mask = build_block_mask(q[:, :, :s], k, top_k=3, p_remain=0.01,
+                                text_start_block=nqb, text_blocks=2,
+                                block_neighbors=jnp.asarray(
+                                    plan.block_neighbors),
+                                sel_group=g)
+        m = np.asarray(mask)
+        ng = -(-nqb // g)
+        pad = ng * g - nqb
+        mp = np.concatenate(
+            [m, np.zeros((*m.shape[:2], pad, m.shape[-1]), bool)], axis=2)
+        grp = mp.reshape(*m.shape[:2], ng, g, m.shape[-1])
+        # rows of each full group identical (tail group may be ragged)
+        full_groups = nqb // g
+        assert (grp[:, :, :full_groups, 0:1] ==
+                grp[:, :, :full_groups]).all()
+        # adjacency superset: every row covers its own 26-neighborhood
+        video = m[0, 0, :, :nqb]
+        assert (video | ~plan.block_neighbors).all()
+        # floor: at least top_k video blocks per row
+        assert (m[..., :nqb].sum(-1) >= 3).all()
+
+    def test_sel_group_first_frame_forcing(self):
+        b, h = 1, 1
+        tsb, ffb, g = 8, 3, 2
+        s = (tsb + 2) * BM
+        q, k, _ = _qkv(self.key, b, h, s, 64)
+        mask = build_block_mask(q[:, :, :tsb * BM], k, top_k=1,
+                                p_remain=0.05, text_start_block=tsb,
+                                text_blocks=2, block_neighbors=None,
+                                first_frame_blocks=ffb, sel_group=g)
+        # every group containing a first-frame row sees all ff blocks:
+        # rows 0..ceil(ffb/g)*g-1 get them (superset of the per-row rule)
+        rows = -(-ffb // g) * g
+        assert bool(mask[:, :, :rows, :ffb].all())
+
     def test_mask_to_block_lists_roundtrip(self):
         mask = jax.random.bernoulli(self.key, 0.3, (2, 3, 5, 7))
         indices, counts = mask_to_block_lists(mask)
@@ -244,3 +288,77 @@ class TestGroupedKernel:
 
     def test_group4_text_amp_seqlen(self):
         self._case(4, text_amp=1.5, tsb=14, seqlen=2048 - 57)
+
+    def test_all_member_joint_lists(self):
+        """all_member=True (joint selection): a group-uniform mask packed
+        WITHOUT membership words must match the per-row kernel on the
+        expanded mask."""
+        from jenga_tpu.ops.block_sparse_attention import (
+            block_sparse_attention, block_sparse_attention_grouped)
+        from jenga_tpu.sparse.planner import (
+            mask_to_block_lists, pack_block_lists)
+
+        key = jax.random.PRNGKey(12)
+        b, h, s, d, q_rows = 1, 2, 2048, 128, 4
+        nb = s // 128
+        # text boundary aligned to the group width: rows of a group share
+        # one selection, so a video/text boundary INSIDE a group would make
+        # the video rows attend the full union (documented superset) and
+        # differ from the per-row reference.
+        tsb = nb - 4
+        seqlen = s - 99
+        kq, kk, kv, km = jax.random.split(key, 4)
+        q = jax.random.normal(kq, (b, h, s, d), jnp.float32)
+        k = jax.random.normal(kk, (b, h, s, d), jnp.float32)
+        v = jax.random.normal(kv, (b, h, s, d), jnp.float32)
+        # group-uniform mask: select at group granularity, expand to rows
+        gmask = jax.random.uniform(km, (b, h, nb // q_rows, nb)) < 0.35
+        gmask = gmask.at[..., tsb:].set(True)
+        mask = jnp.repeat(gmask, q_rows, axis=2)
+        mask = mask.at[:, :, tsb:].set(True)
+        gmask = jnp.any(mask.reshape(b, h, nb // q_rows, q_rows, nb), axis=3)
+
+        lists = pack_block_lists(*mask_to_block_lists(mask), seqlens=seqlen)
+        ref = block_sparse_attention(q, k, v, lists, text_amp=0.8,
+                                     text_start_block=tsb)
+        glists = pack_block_lists(*mask_to_block_lists(gmask),
+                                  seqlens=seqlen)
+        out = block_sparse_attention_grouped(
+            q, k, v, glists, q_rows=q_rows, text_amp=0.8,
+            text_start_block=tsb, all_member=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-3, rtol=3e-3)
+
+    def test_joint_helper_matches_per_row(self):
+        """grouped_attention_from_mask(joint=True) on a sel_group mask
+        equals the per-row kernel (boundary text group becomes a full
+        union — superset semantics only for rows already full)."""
+        from jenga_tpu.ops.block_sparse_attention import (
+            block_sparse_attention, grouped_attention_from_mask)
+        from jenga_tpu.sparse.planner import (
+            build_block_mask, mask_to_block_lists, pack_block_lists)
+
+        key = jax.random.PRNGKey(13)
+        b, h, d, q_rows = 1, 2, 128, 2
+        nb, tsb = 6, 4
+        s = nb * 128
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (b, h, s, d), jnp.float32)
+        k = jax.random.normal(kk, (b, h, s, d), jnp.float32)
+        v = jax.random.normal(kv, (b, h, s, d), jnp.float32)
+        m = build_block_mask(q[:, :, :tsb * 128], k, top_k=1, p_remain=0.3,
+                             text_start_block=tsb, text_blocks=2,
+                             block_neighbors=None, sel_group=q_rows)
+        # rows within a selection group must be identical
+        m2 = m.reshape(b, h, tsb // q_rows, q_rows, nb)
+        assert bool(jnp.all(m2[:, :, :, 0:1] == m2))
+        mask = jnp.concatenate(
+            [m, jnp.ones((b, h, nb - tsb, nb), bool)], axis=2)
+        lists = pack_block_lists(*mask_to_block_lists(mask), seqlens=s - 13)
+        ref = block_sparse_attention(q, k, v, lists, text_start_block=tsb,
+                                     text_amp=0.7)
+        out = grouped_attention_from_mask(
+            q, k, v, mask, q_rows=q_rows, seqlens=s - 13,
+            text_start_block=tsb, text_amp=0.7, joint=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-3, rtol=3e-3)

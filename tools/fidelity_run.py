@@ -55,3 +55,16 @@ report = carving_fidelity_report(pipe, None, ctx, ctx_null, carved, dense)
 report["config"] = "wan-1.3b-arch 832x480x33f 20 steps, Jenga-Base drop "\
     ".75/.85 p_remain .9, random weights, matched seed"
 print(json.dumps(report))
+
+# joint group selection (the TPU-tuned production mode, q_group=4): same
+# carved schedule but one pooled selection per 4 query rows. Reported
+# against dense AND against per-row carving so the granularity cost is
+# pinned separately from the carving cost itself.
+joint = dataclasses.replace(carved, q_group=4, joint_sel=True)
+report_j = carving_fidelity_report(pipe, None, ctx, ctx_null, joint, dense)
+report_j["config"] = "same, joint 4-row group selection (q_group=4)"
+print(json.dumps(report_j))
+report_jc = carving_fidelity_report(pipe, None, ctx, ctx_null, joint, carved)
+report_jc["config"] = "joint q_group=4 vs per-row carving (granularity " \
+    "cost alone)"
+print(json.dumps(report_jc))

@@ -84,3 +84,19 @@ for name, mask in (("local", local), ("random", rand)):
                                 text_start_block=tsb)), q, k, v, gl)
         line += f" | q_rows={qr}: {tg:7.1f} ms (union {ufrac:.3f})"
     print(line, flush=True)
+
+# joint-selection mode (all_member=True): group-uniform mask, plain lists,
+# no per-row membership masking — the production configuration.
+print("joint selection (all_member):", flush=True)
+for qr in (2, 4, 8):
+    gmask = local.reshape(b, h, nb // qr, qr, nb)[:, :, :, 0]
+    gmask = jnp.any(local.reshape(b, h, nb // qr, qr, nb), axis=3)
+    gl = jax.block_until_ready(
+        pack_block_lists(*mask_to_block_lists(gmask)))
+    dens = float(gl[..., 0].astype(jnp.float32).mean()) / nb
+    tg = timeit(jax.jit(lambda q, k, v, l, qr=qr:
+                        block_sparse_attention_grouped(
+                            q, k, v, l, q_rows=qr,
+                            text_start_block=tsb, all_member=True)),
+                q, k, v, gl)
+    print(f"  q_rows={qr}: {tg:7.1f} ms (density {dens:.3f})", flush=True)
