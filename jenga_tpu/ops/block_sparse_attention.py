@@ -478,12 +478,11 @@ def _kernel_grouped(
     # belong to query block qi*q_rows + r
     row_of = jax.lax.broadcasted_iota(jnp.int32, (rr, 1), 0) // block_m
 
-    def compute_group(j, slot, carry):
-        m_prev, l_prev, acc = carry
-        wait_group(parity, bh, j, slot)
-
-        kb = kv_buf[slot, :, :d]
-        vb = kv_buf[slot, :, d:]
+    def _col_bias(j):
+        """(1, gn) additive column biases for a KV group: ``bias`` is
+        -1e30 on invalid columns (list overhang / per-sample seqlen tail)
+        and 0 elsewhere; ``camp`` is ``text_amp`` on text columns (added
+        to qk only for video query rows via ``row_video``)."""
         blk_ids = [blk_of(parity, j, g) for g in range(group)]
         seg = col // block_n
         blk_col = jnp.zeros((1, gn), jnp.int32)
@@ -491,24 +490,69 @@ def _kernel_grouped(
             blk_col = jnp.where(seg == g, blk_ids[g], blk_col)
         in_list = (j * group + seg) < n
         in_seq = blk_col * block_n + lane < seqlen
+        valid = jnp.logical_and(in_list, in_seq)       # (1, gn)
+        bias = jnp.where(valid, 0.0, neg_inf)
+        camp = jnp.where(blk_col >= text_start_block,
+                         jnp.float32(text_amp), 0.0)
+        return bias, camp, blk_col
 
-        qk = jax.lax.dot_general(
-            q_all, kb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (rr, gn)
-        valid = jnp.logical_and(in_list, in_seq)       # (1, gn) broadcast
+    if text_amp != 0.0:
+        # 1.0 for video query rows (text amplitude applies), 0.0 for text
+        # query rows — (rr, 1), broadcasts against the (1, gn) camp column
+        row_video = jnp.where(qi * q_rows + row_of < text_start_block,
+                              jnp.float32(1.0), 0.0)
+
+    def _mask_qk(qk, j):
+        """Full masking path: list overhang, per-sample seqlen tail,
+        (non-joint) membership, text amplitude."""
+        bias, camp, blk_col = _col_bias(j)
         if not all_member:
             memb_ids = [memb_of(parity, j, g) for g in range(group)]
+            seg = col // block_n
             memb_col = jnp.zeros((1, gn), jnp.int32)
             for g in range(group):
                 memb_col = jnp.where(seg == g, memb_ids[g], memb_col)
             member = ((memb_col >> row_of) & 1) == 1   # (rr, gn)
-            valid = jnp.logical_and(valid, member)
+            bias = jnp.where(member, bias, neg_inf)
+        qk = qk + bias
         if text_amp != 0.0:
-            amp_on = jnp.logical_and(
-                qi * q_rows + row_of < text_start_block,
-                blk_col >= text_start_block)
-            qk = qk + jnp.where(amp_on, jnp.float32(text_amp), 0.0)
-        qk = jnp.where(valid, qk, neg_inf)
+            qk = qk + row_video * camp
+        return qk
+
+    def compute_group(j, slot, carry):
+        m_prev, l_prev, acc = carry
+        wait_group(parity, bh, j, slot)
+
+        kb = kv_buf[slot, :, :d]
+        vb = kv_buf[slot, :, d:]
+        qk = jax.lax.dot_general(
+            q_all, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (rr, gn)
+        if all_member:
+            # Joint-selection fast path: a group needs masking only when
+            # it holds the row's list overhang, crosses the per-sample
+            # seqlen boundary, or (amp) contains text blocks — scalars
+            # decidable from the ascending id list. For interior groups
+            # (the vast majority at production density) the index/mask
+            # construction is skipped. The cond carries only the (1, gn)
+            # column biases (16KB), NOT the (rr, gn) logits: a qk-valued
+            # cond put ~23MB of branch state on the scoped-VMEM stack and
+            # failed to compile at the 115k-token production shape.
+            last_id = blk_of(parity, j, group - 1)
+            safe = jnp.logical_and(
+                (j + 1) * group <= n,
+                (last_id + 1) * block_n <= seqlen)
+            if text_amp != 0.0:
+                safe = jnp.logical_and(safe, last_id < text_start_block)
+            zero_b = jnp.zeros((1, gn), jnp.float32)
+            bias, camp = jax.lax.cond(
+                safe, lambda: (zero_b, zero_b),
+                lambda: _col_bias(j)[:2])
+            qk = qk + bias
+            if text_amp != 0.0:
+                qk = qk + row_video * camp
+        else:
+            qk = _mask_qk(qk, j)
         m_cur = jnp.max(qk, axis=-1, keepdims=True)     # (rr, 1)
         m_next = jnp.maximum(m_prev, m_cur)             # (rr, 128)
         alpha = jnp.exp2(m_prev - m_next)
@@ -590,6 +634,13 @@ def block_sparse_attention_grouped(
         # production runs bf16) whose packed scratch is twice the size.
         group = max(4, 2048 // max(q.shape[-1], 128))
         if q_rows > 4:
+            group = max(4, group // 2)
+        elif all_member:
+            # joint fast path: narrower groups win — the safe-group cond
+            # skips masking at group granularity, so finer groups skip
+            # more and waste fewer overhang columns (measured 430 ms at
+            # group=8 vs 460 ms at 16, HY-720p q_rows=4 density 0.28 —
+            # tools/joint_group_sweep.py)
             group = max(4, group // 2)
         if jnp.dtype(k.dtype).itemsize > 2:
             group = max(4, group // (2 if q_rows == 1 else 4))

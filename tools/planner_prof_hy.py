@@ -77,10 +77,25 @@ def chained(stage):
             return P.pack_block_lists_grouped(mask, 4, seqlens=s)
         raise ValueError(stage)
 
+    def once_joint(q, k, g=4):
+        # the joint-selection planner: selection at group granularity
+        # (nqb/g rows) + plain pack of the group mask — the production
+        # q_rows=4 path
+        m = P.build_block_mask(
+            q, k, top_k=top_k, p_remain=0.05, text_start_block=nqb,
+            text_blocks=2, block_neighbors=neighbors, sel_group=g)
+        full = jnp.ones((b, h, 2, nkb), bool)
+        m = jnp.concatenate([m, full], axis=2)
+        mp = jnp.pad(m, ((0, 0), (0, 0), (0, 2), (0, 0)))
+        union = jnp.any(mp.reshape(b, h, (nqb + 4) // g, g, nkb), axis=3)
+        return P.pack_block_lists(*P.mask_to_block_lists(union), seqlens=s)
+
     @jax.jit
     def f(q, k):
+        fn = once_joint if stage == "jointsel" else once
+
         def body(i, c):
-            out = once(q * (1 + 0.001 * i.astype(jnp.bfloat16)), k)
+            out = fn(q * (1 + 0.001 * i.astype(jnp.bfloat16)), k)
             # strided (not col-0) reduction: col-0-only let XLA dead-code
             # eliminate the id sort in the pack stages entirely
             return c + jnp.sum(out[..., ::13].astype(jnp.float32))
@@ -90,7 +105,7 @@ def chained(stage):
 
 
 prev = 0.0
-for st in ["pool", "scores", "sort", "mask", "pack", "gpack"]:
+for st in ["pool", "scores", "sort", "mask", "pack", "gpack", "jointsel"]:
     t = timeit(chained(st), q, k) / N
     d_ = t - prev if st != "gpack" else t - prev
     print(f"{st:8s} {t:8.2f} ms/layer  (delta {t - prev:+7.2f})", flush=True)
