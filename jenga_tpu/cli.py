@@ -66,6 +66,11 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("--ulysses-degree", type=int, default=1,
                    help="sequence-parallel degree (mesh over the first N "
                         "devices; Ulysses attention + FSDP params)")
+    p.add_argument("--ring-degree", type=int, default=1,
+                   help="outer ring-attention axis: uses "
+                        "ring_degree x ulysses_degree devices (dense "
+                        "attention only — carving needs --ring-degree 1; "
+                        "reference world == ring x ulysses contract)")
     p.add_argument("--prompt-extend-model", type=str, default=None,
                    help="HF dir of a llama/Qwen2 LM used to expand the "
                         "prompt before encoding (reference "
@@ -75,6 +80,14 @@ def _common(p: argparse.ArgumentParser):
                    help="'vl' loads a llava-format dir and grounds the "
                         "expansion in the conditioning image "
                         "(--i2v-image-path; reference QwenVL expander)")
+    p.add_argument("--prompt-extend-method", default="local",
+                   choices=["local", "api"],
+                   help="'api' posts to an OpenAI/DashScope-compatible "
+                        "chat endpoint (env DASH_API_KEY, "
+                        "PROMPT_EXTEND_API_URL) instead of loading a "
+                        "local model — the reference's dashscope expander")
+    p.add_argument("--prompt-extend-api-model", default="qwen-plus",
+                   help="remote model name for --prompt-extend-method api")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -150,23 +163,26 @@ def _save(args, out):
 
 
 def _maybe_extend_prompt(args, prompt):
-    if not args.prompt_extend_model:
+    use_api = getattr(args, "prompt_extend_method", "local") == "api"
+    if not args.prompt_extend_model and not use_api:
         return prompt
-    from .text.prompt_extend import (LocalLLMExpander, LocalVLExpander,
-                                     PromptExpander)
+    from .text.prompt_extend import (APIExpander, LocalLLMExpander,
+                                     LocalVLExpander, PromptExpander)
     if args.prompt_extend_mode == "vl":
         image = getattr(args, "i2v_image_path", None) \
             or getattr(args, "image", None)
         if not image:
             raise SystemExit("--prompt-extend-mode vl needs an input "
                              "image (--i2v-image-path / --image)")
-        expander = PromptExpander(
-            chat_fn=LocalVLExpander(args.prompt_extend_model), mode="vl")
+        chat = (APIExpander(model=args.prompt_extend_api_model) if use_api
+                else LocalVLExpander(args.prompt_extend_model))
+        expander = PromptExpander(chat_fn=chat, mode="vl")
         extended = expander(prompt, image=image)
     else:
-        expander = PromptExpander(
-            chat_fn=LocalLLMExpander(args.prompt_extend_model),
-            mode=args.prompt_extend_mode)
+        chat = (APIExpander(model=args.prompt_extend_api_model) if use_api
+                else LocalLLMExpander(args.prompt_extend_model))
+        expander = PromptExpander(chat_fn=chat,
+                                  mode=args.prompt_extend_mode)
         extended = expander(prompt)
     print(f"extended prompt: {extended}")
     return extended
@@ -254,14 +270,21 @@ def _hy_sampler(args, i2v: bool):
                             refiner_depth=1, dtype="float32",
                             i2v_condition_type=("token_replace" if i2v
                                                 else None))
+        mesh = None
+        ring = getattr(args, "ring_degree", 1)
+        if args.ulysses_degree > 1 or ring > 1:
+            from .parallel.mesh import make_sp_mesh
+            mesh = make_sp_mesh(
+                _jax.devices()[:args.ulysses_degree * ring], ring=ring)
         return HunyuanVideoSampler(
             cfg, init_hyvideo_params(_jax.random.PRNGKey(args.seed), cfg),
-            i2v=i2v)
+            i2v=i2v, mesh=mesh)
     return HunyuanVideoSampler.from_pretrained(
         args.ckpt_dir, i2v=i2v, seed=args.seed,
         use_fp8=getattr(args, "use_fp8", False),
         lora_path=getattr(args, "lora_path", None),
         sp_degree=args.ulysses_degree,
+        ring_degree=getattr(args, "ring_degree", 1),
         use_cpu_offload=getattr(args, "use_cpu_offload", False))
 
 
@@ -433,7 +456,8 @@ def _wan_sampler(args, i2v: bool):
     return WanSampler.from_pretrained(
         task, args.ckpt_dir, seed=args.seed,
         t5_on_host=getattr(args, "t5_cpu", False),
-        sp_degree=args.ulysses_degree)
+        sp_degree=args.ulysses_degree,
+        ring_degree=getattr(args, "ring_degree", 1))
 
 
 def run_wan_i2v(args):

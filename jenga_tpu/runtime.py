@@ -125,11 +125,17 @@ class HunyuanVideoSampler:
                         seed: int = 0, dtype: str = "bfloat16",
                         use_fp8: bool = False, lora_path: str | None = None,
                         lora_alpha: float = 1.0, sp_degree: int = 1,
+                        ring_degree: int = 1,
                         use_cpu_offload: bool = False):
         """``sp_degree`` > 1 builds a sequence-parallel mesh over the first
         N devices (Ulysses in every attention + FSDP param sharding) —
         the reference's --ulysses-degree
-        (`/root/reference/jenga_hyvideo_multigpu.py:104-204`)."""
+        (`/root/reference/jenga_hyvideo_multigpu.py:104-204`).
+        ``ring_degree`` > 1 composes the explicit 2-D ring x ulysses mesh
+        over ``ring_degree * sp_degree`` devices (reference
+        ``world == ring_degree * ulysses_degree``,
+        `/root/reference/hyvideo/config.py:451-468`); note carving
+        requires ring_degree == 1 (dense ring attention otherwise)."""
         cfg = dataclasses.replace(
             hy.HUNYUAN_VIDEO_I2V if i2v else hy.HUNYUAN_VIDEO_T2V,
             dtype=dtype)
@@ -171,9 +177,11 @@ class HunyuanVideoSampler:
             from .models.fp8 import quantize_tree_fp8
             params = quantize_tree_fp8(params)
         mesh = None
-        if sp_degree and sp_degree > 1:
+        ring_degree = max(1, int(ring_degree or 1))
+        if (sp_degree and sp_degree > 1) or ring_degree > 1:
             from .parallel.mesh import make_sp_mesh
-            mesh = make_sp_mesh(jax.devices()[:sp_degree])
+            mesh = make_sp_mesh(jax.devices()[:sp_degree * ring_degree],
+                                ring=ring_degree)
         return cls(cfg, params, vae_params, i2v=i2v,
                    text_encoder=text_encoder, text_encoder_2=text_encoder_2,
                    mesh=mesh, offload_to_host=use_cpu_offload)
@@ -424,11 +432,13 @@ class WanSampler:
     def from_pretrained(cls, task: str = "t2v-1.3B",
                         ckpt_dir: str | None = None, seed: int = 0,
                         dtype: str = "bfloat16", t5_on_host: bool = False,
-                        sp_degree: int = 1):
+                        sp_degree: int = 1, ring_degree: int = 1):
         """``t5_on_host`` keeps the UMT5 weights + encode on host CPU
         (reference ``--t5_cpu``, `/root/reference/wan/text2video.py:60-66`)
         — on TPU this frees ~9GB HBM for the 14B DiT. ``sp_degree`` > 1
-        builds an Ulysses sequence-parallel mesh + FSDP param sharding."""
+        builds an Ulysses sequence-parallel mesh + FSDP param sharding;
+        ``ring_degree`` > 1 adds the outer ring axis (2-D ring x ulysses
+        over ``ring_degree * sp_degree`` devices)."""
         cfg = dataclasses.replace(cls.CONFIGS[task], dtype=dtype)
         model_id = {"t2v-1.3B": "wan-t2v-1.3b", "t2v-14B": "wan-t2v-14b",
                     "i2v-14B": "wan-i2v-720p"}[task]
@@ -462,9 +472,11 @@ class WanSampler:
         if params is None:
             params = wan_lib.init_wan_params(jax.random.PRNGKey(seed), cfg)
         mesh = None
-        if sp_degree and sp_degree > 1:
+        ring_degree = max(1, int(ring_degree or 1))
+        if (sp_degree and sp_degree > 1) or ring_degree > 1:
             from .parallel.mesh import make_sp_mesh
-            mesh = make_sp_mesh(jax.devices()[:sp_degree])
+            mesh = make_sp_mesh(jax.devices()[:sp_degree * ring_degree],
+                                ring=ring_degree)
         return cls(cfg, params, vae_params, model_id=model_id, t5=t5,
                    clip_vision=clip_vision, mesh=mesh)
 

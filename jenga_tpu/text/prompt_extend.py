@@ -18,7 +18,8 @@ import numpy as np
 __all__ = ["T2V_EXTEND_SYSTEM_PROMPT", "I2V_EXTEND_SYSTEM_PROMPT",
            "VL_EXTEND_SYSTEM_PROMPT",
            "REWRITE_NORMAL_SYSTEM_PROMPT", "REWRITE_MASTER_SYSTEM_PROMPT",
-           "PromptExpander", "LocalLLMExpander", "LocalVLExpander"]
+           "PromptExpander", "LocalLLMExpander", "LocalVLExpander",
+           "APIExpander"]
 
 T2V_EXTEND_SYSTEM_PROMPT = (
     "You are a prompt engineer for a text-to-video model. Expand the "
@@ -85,6 +86,118 @@ class PromptExpander:
         else:
             out = self.chat_fn(system, user)
         return out.strip() or prompt
+
+
+class APIExpander:
+    """Remote-API prompt expander — counterpart of the reference's
+    ``DashScopePromptExpander`` (`/root/reference/wan/utils/
+    prompt_extend.py:101-161`: DashScope ``Generation``/
+    ``MultiModalConversation`` calls with retry). Speaks the
+    OpenAI-compatible chat-completions JSON dialect that DashScope, vLLM,
+    and most hosted LLM endpoints expose, over stdlib ``urllib`` (no SDK
+    dependency). Plugs into :class:`PromptExpander` as ``chat_fn``.
+
+    ``transport`` is the seam for tests / exotic backends: a callable
+    ``(url, headers: dict, body: bytes, timeout: float) -> bytes``
+    returning the raw JSON response. The default posts over HTTPS.
+    """
+
+    def __init__(self, model: str = "qwen-plus", url: str | None = None,
+                 api_key: str | None = None, timeout: float = 30.0,
+                 retries: int = 4, transport=None):
+        import os
+
+        self.model = model
+        self.url = url or os.environ.get(
+            "PROMPT_EXTEND_API_URL",
+            "https://dashscope.aliyuncs.com/compatible-mode/v1"
+            "/chat/completions")
+        self.api_key = api_key if api_key is not None else (
+            os.environ.get("DASH_API_KEY")        # reference env var name
+            or os.environ.get("DASHSCOPE_API_KEY")
+            or os.environ.get("OPENAI_API_KEY"))
+        self.timeout = timeout
+        self.retries = max(1, int(retries))
+        self.transport = transport or self._http_post
+
+    @staticmethod
+    def _http_post(url, headers, body, timeout):
+        import urllib.request
+
+        req = urllib.request.Request(url, data=body, headers=headers,
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.read()
+
+    @staticmethod
+    def _image_part(image):
+        """Image path / [3,H,W] uint8-able array -> data-URL content part
+        (the reference uploads a local file to the multimodal endpoint;
+        the OpenAI dialect inlines it as a base64 data URL)."""
+        import base64
+
+        if isinstance(image, str):
+            with open(image, "rb") as f:
+                raw = f.read()
+            mime = ("image/png" if image.lower().endswith(".png")
+                    else "image/jpeg")
+        else:
+            import io
+
+            arr = np.asarray(image)
+            if arr.ndim == 3 and arr.shape[0] in (1, 3):   # CHW -> HWC
+                arr = np.moveaxis(arr, 0, -1)
+            if arr.dtype != np.uint8:
+                arr = np.clip(arr, 0, 255).astype(np.uint8)
+            buf = io.BytesIO()
+            try:
+                from PIL import Image as _Image
+                _Image.fromarray(arr.squeeze()).save(buf, format="PNG")
+            except ImportError:
+                # minimal fallback: raw npy payload (accepted by our own
+                # transport seam in tests; real endpoints want PNG/JPEG)
+                np.save(buf, arr)
+            raw, mime = buf.getvalue(), "image/png"
+        b64 = base64.b64encode(raw).decode("ascii")
+        return {"type": "image_url",
+                "image_url": {"url": f"data:{mime};base64,{b64}"}}
+
+    def __call__(self, system: str, user: str, image=None) -> str:
+        import json
+        import time
+
+        if image is None:
+            user_content = user
+        else:
+            user_content = [{"type": "text", "text": user},
+                            self._image_part(image)]
+        body = json.dumps({
+            "model": self.model,
+            "messages": [{"role": "system", "content": system},
+                         {"role": "user", "content": user_content}],
+        }).encode("utf-8")
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        err = None
+        for attempt in range(self.retries):
+            try:
+                raw = self.transport(self.url, headers, body, self.timeout)
+                resp = json.loads(raw)
+                # OpenAI/DashScope-compatible dialect first, then the
+                # native DashScope shape (output.choices / output.text)
+                if "choices" in resp:
+                    return resp["choices"][0]["message"]["content"]
+                out = resp["output"]
+                if "choices" in out:
+                    return out["choices"][0]["message"]["content"]
+                return out["text"]
+            except Exception as e:  # noqa: BLE001 - retry any transport
+                err = e             # or schema error, like the reference
+                time.sleep(min(2.0 ** attempt * 0.5, 4.0))
+        raise RuntimeError(
+            f"prompt-extend API failed after {self.retries} attempts: "
+            f"{type(err).__name__}: {err}") from err
 
 
 class LocalLLMExpander:

@@ -5,8 +5,12 @@ import subprocess
 import sys
 
 
-def _run(args):
+def _run(args, n_devices: int = 1):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    if n_devices > 1:
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                            f" --xla_force_host_platform_device_count="
+                            f"{n_devices}")
     return subprocess.run(
         [sys.executable, "-m", "jenga_tpu.cli", *args],
         capture_output=True, text=True, env=env, timeout=300,
@@ -36,6 +40,20 @@ def test_hyvideo_i2v_tiny(tmp_path):
     r = _run(["hyvideo-i2v", "--tiny", "--cpu",
               "--video-size", "96", "64", "--video-length", "5",
               "--infer-steps", "2", "--latents-only", "--save-path", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
+
+
+def test_hyvideo_t2v_tiny_ring_ulysses(tmp_path):
+    """--ring-degree x --ulysses-degree composes the 2-D dense
+    ring x ulysses mesh through the CLI (reference world == ring x
+    ulysses contract, hyvideo/config.py:451-468); 4 of 8 CPU devices."""
+    out = str(tmp_path / "v.npy")
+    r = _run(["hyvideo-t2v", "--tiny", "--cpu", "--preset", "base",
+              "--video-size", "96", "64", "--video-length", "5",
+              "--infer-steps", "2", "--latents-only", "--save-path", out,
+              "--ulysses-degree", "2", "--ring-degree", "2"],
+             n_devices=8)
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(out)
 

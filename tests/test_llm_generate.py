@@ -113,3 +113,79 @@ def test_local_llm_expander_end_to_end(tmp_path):
     exp = LocalLLMExpander(str(tmp_path), max_new_tokens=4)
     out = PromptExpander(chat_fn=exp, mode="t2v")("w1 w2 w3")
     assert isinstance(out, str) and len(out) > 0
+
+# ------------------------------------------------------- API expander
+
+def test_api_expander_openai_dialect():
+    """APIExpander posts an OpenAI-compatible chat request and parses the
+    ``choices`` response (reference DashScopePromptExpander,
+    `/root/reference/wan/utils/prompt_extend.py:101-161`)."""
+    from jenga_tpu.text.prompt_extend import APIExpander, PromptExpander
+
+    seen = {}
+
+    def transport(url, headers, body, timeout):
+        seen.update(url=url, headers=headers, body=json.loads(body))
+        return json.dumps({"choices": [{"message": {
+            "content": "  an expanded prompt  "}}]}).encode()
+
+    exp = APIExpander(model="qwen-plus", url="https://x/v1/chat",
+                      api_key="sk-test", transport=transport)
+    out = PromptExpander(chat_fn=exp, mode="t2v")("a cat")
+    assert out == "an expanded prompt"
+    assert seen["url"] == "https://x/v1/chat"
+    assert seen["headers"]["Authorization"] == "Bearer sk-test"
+    assert seen["body"]["model"] == "qwen-plus"
+    roles = [m["role"] for m in seen["body"]["messages"]]
+    assert roles == ["system", "user"]
+    assert seen["body"]["messages"][1]["content"] == "a cat"
+
+
+def test_api_expander_dashscope_dialect_and_retry():
+    """Native DashScope response shapes (output.choices / output.text)
+    parse too, and a failing attempt is retried like the reference."""
+    from jenga_tpu.text.prompt_extend import APIExpander
+
+    calls = {"n": 0}
+
+    def flaky(url, headers, body, timeout):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("connection reset")
+        return json.dumps({"output": {"text": "ds text"}}).encode()
+
+    exp = APIExpander(transport=flaky, retries=3)
+    assert exp("sys", "user") == "ds text"
+    assert calls["n"] == 2
+
+    exp2 = APIExpander(transport=lambda *a: json.dumps(
+        {"output": {"choices": [{"message": {"content": "dc"}}]}}).encode())
+    assert exp2("sys", "user") == "dc"
+
+    import pytest
+    exp3 = APIExpander(transport=lambda *a: (_ for _ in ()).throw(
+        OSError("down")), retries=2)
+    with pytest.raises(RuntimeError, match="after 2 attempts"):
+        exp3("sys", "user")
+
+
+def test_api_expander_image_content():
+    """An image becomes a base64 data-URL content part (multimodal
+    message), mirroring the reference's VL API path."""
+    import numpy as np
+    from jenga_tpu.text.prompt_extend import APIExpander
+
+    seen = {}
+
+    def transport(url, headers, body, timeout):
+        seen.update(body=json.loads(body))
+        return json.dumps({"choices": [{"message": {
+            "content": "grounded"}}]}).encode()
+
+    img = np.zeros((3, 8, 8), np.uint8)
+    exp = APIExpander(transport=transport)
+    assert exp("sys", "user text", image=img) == "grounded"
+    content = seen["body"]["messages"][1]["content"]
+    assert content[0] == {"type": "text", "text": "user text"}
+    assert content[1]["type"] == "image_url"
+    assert content[1]["image_url"]["url"].startswith("data:image/png;base64,")
