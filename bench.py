@@ -90,6 +90,11 @@ import jax.numpy as jnp
 # is best-effort: the 6-layer carved program can exceed 16GB HBM.
 FULL = bool(int(os.environ.get("BENCH_FULL", "0")))
 QUICK = not FULL
+# BENCH_SCAN=1 forces the lax.scan trunk in QUICK mode too: comparing
+# QUICK+scan against FULL (always scan) isolates depth-linearity from
+# the scan structure's own ~5-9% cost (validation for the depth
+# extrapolation; the headline stays the unrolled QUICK config).
+SCAN = FULL or bool(int(os.environ.get("BENCH_SCAN", "0")))
 REF_HY_BASE_SPEEDUP = 5.24   # 1625/310, /root/reference/README.md:79-82
 STEPS = 50
 STAGE_SPLIT = 25             # step-rate-list "0.5 1.0" of 50 steps
@@ -258,11 +263,12 @@ def main():
     def full_j(params, carve, x, top_k):
         img, txth, aux = hy.hyvideo_embed(params, cfg, x, t, txt, mask,
                                           txt2, carve, guidance)
-        # FULL (6-layer) peaks past 16GB HBM (measured OOM on a quiet
-        # chip, with or without remat — the peak sits inside one
-        # attention layer's working set); FULL stays best-effort
+        # FULL (6 layers) runs the trunk as lax.scan over stacked block
+        # params: the unrolled 6-layer program OOMed 16GB (XLA scheduled
+        # the stack's live ranges concurrently); the scan reuses one
+        # layer's buffers, bounding peak at the 3-layer level
         img2 = hy.hyvideo_trunk(params, cfg, img, txth, aux, carve,
-                                top_k=top_k, remat=FULL)
+                                top_k=top_k, scan=SCAN)
         return hy.hyvideo_head(params, cfg, img2, aux, carve), img2 - img
 
     @jax.jit

@@ -608,10 +608,15 @@ def hyvideo_embed(params, cfg: HYVideoConfig, x, t, text_states, text_mask,
 
 def hyvideo_trunk(params, cfg: HYVideoConfig, img, txt, aux,
                   carve: HYCarve | None = None, top_k=None, mesh=None,
-                  remat: bool = False):
+                  remat: bool = False, scan: bool = False):
     """Double + single block stack; input/output img is curve-ordered (the
     fixed-list skip residual lives on this img stream). ``remat`` wraps
-    blocks in ``jax.checkpoint`` (activation memory for fine-tuning)."""
+    blocks in ``jax.checkpoint`` (activation memory for fine-tuning).
+    ``scan`` runs each homogeneous block stack as ONE ``lax.scan`` over
+    stacked parameters: XLA then reuses a single layer's buffers instead
+    of scheduling the unrolled stack's live ranges — this is what lets a
+    6-layer 115k-token program fit a 16GB v5e (inference peak is layer
+    working set, not activation count; see bench.py BENCH_FULL)."""
     vec = aux["vec"]
     rope_cos, rope_sin = aux["rope_cos"], aux["rope_sin"]
     seqlen = aux.get("seqlens")
@@ -635,6 +640,19 @@ def hyvideo_trunk(params, cfg: HYVideoConfig, img, txt, aux,
     if remat:
         run_double = jax.checkpoint(run_double)
         run_single = jax.checkpoint(run_single)
+    if scan:
+        if params["double_blocks"]:
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                   *params["double_blocks"])
+            (img, txt), _ = jax.lax.scan(
+                lambda c, p: (run_double(p, *c), None), (img, txt), stacked)
+        x = jnp.concatenate([img, txt], axis=1)
+        if params["single_blocks"]:
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                   *params["single_blocks"])
+            x, _ = jax.lax.scan(
+                lambda c, p: (run_single(p, c), None), x, stacked)
+        return x[:, :img.shape[1]]
     for p in params["double_blocks"]:
         img, txt = run_double(p, img, txt)
     x = jnp.concatenate([img, txt], axis=1)

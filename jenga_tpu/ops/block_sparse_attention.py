@@ -582,14 +582,33 @@ def _kernel_grouped(
         next_bh = (step + 1) // ngr
         start_group(1 - parity, next_bh, 0, 2)
 
-    def body(j, carry):
+    def pair_body(it, carry):
+        # 2-group software pipeline: processing groups (j, j+1) in one
+        # iteration lets Mosaic overlap group j+1's qk matmul (MXU) with
+        # group j's softmax epilogue (VPU) — the sequential fori_loop
+        # body serialized them. Group order (and thus the streaming
+        # softmax sequence) is unchanged. When n_groups is even, the
+        # final iteration's second group is a phantom (j+1 == n_groups):
+        # its DMA starts/waits are already guarded by the list length and
+        # every column masks to -inf via the overhang path, so it
+        # contributes exactly nothing.
+        j = 1 + 2 * it
+
         @pl.when(j + 2 < n_groups)
         def _():
+            # reuses wslot(j-1): consumed by the previous iteration
             start_group(parity, bh, j + 2, wslot(j + 2))
 
-        return compute_group(j, wslot(j), carry)
+        carry = compute_group(j, wslot(j), carry)
 
-    m, l, acc = jax.lax.fori_loop(1, n_groups, body, carry)
+        @pl.when(j + 3 < n_groups)
+        def _():
+            # reuses wslot(j): group j was fully consumed just above
+            start_group(parity, bh, j + 3, wslot(j + 3))
+
+        return compute_group(j + 1, wslot(j + 1), carry)
+
+    m, l, acc = jax.lax.fori_loop(0, n_groups // 2, pair_body, carry)
     l_safe = jnp.where(l[:, :1] == 0.0, 1.0, l[:, :1])
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
 

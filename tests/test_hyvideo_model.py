@@ -206,3 +206,25 @@ def test_shared_gather_q_rows_matches_per_row():
     a, b = np.asarray(run(1)), np.asarray(run(2))
     assert np.abs(a).max() > 0          # non-degenerate activations
     np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
+
+
+def test_trunk_scan_matches_unrolled(setup):
+    """scan=True (lax.scan over stacked block params, the BENCH_FULL
+    memory-bounded mode) is numerically identical to the unrolled trunk,
+    dense AND carved."""
+    params, x, t, txt, mask, txt2 = setup
+    img, txth, aux = hyvideo_embed(params, TINY, x, t, txt, mask, txt2)
+    a = hyvideo_trunk(params, TINY, img, txth, aux)
+    b = hyvideo_trunk(params, TINY, img, txth, aux, scan=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=1e-5)
+
+    plan = build_curve_plan((2, 4, 6), "gilbert", 128)
+    carve = make_hy_carve(TINY, plan, sa_drop_rate=0.5, p_remain=0.5,
+                          txt_block_num=1)
+    img, txth, aux = hyvideo_embed(params, TINY, x, t, txt, mask, txt2,
+                                   carve)
+    a = hyvideo_trunk(params, TINY, img, txth, aux, carve)
+    b = hyvideo_trunk(params, TINY, img, txth, aux, carve, scan=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=1e-5)

@@ -82,20 +82,31 @@ def main():
     carve = make_wan_carve(cfg, plan, sa_drop_rate=0.75, p_remain=0.15,
                            q_rows=QROWS, joint_sel=QROWS > 1)
     dense_carve = dataclasses.replace(carve, sa_drop_rate=0.0)
+    nb = -(-plan.seq_len // 128)
+    # the reference's two-stage schedule (scripts/wan_1.3B_jenga_base.sh
+    # sa_drop_rates 0.75 0.85, switch after step 25, jenga_wan.py:192-198);
+    # top_k is a traced operand so both stages share ONE carved compile
+    # (reference floor semantics int(nb * (1 - drop)))
+    tk75 = jnp.int32(int(nb * 0.25))
+    tk85 = jnp.int32(int(nb * 0.15))
 
     # params passed explicitly: closing over the 1.3B tree would capture
     # ~2.9GB of compile-time constants and blow up lowering.
     # carve passed explicitly (registered pytree): closing over it bakes
     # the rope/curve tables into the HLO as constants -> slow compiles.
     @jax.jit
-    def fwd(params, carve, x2):
-        return wan_forward(params, cfg, x2, t2, ctx2, carve=carve)
+    def fwd(params, carve, x2, top_k):
+        return wan_forward(params, cfg, x2, t2, ctx2, carve=carve,
+                           top_k=top_k)
 
-    def carved(params, x2):
-        return fwd(params, carve, x2)
+    def carved75(params, x2):
+        return fwd(params, carve, x2, tk75)
+
+    def carved85(params, x2):
+        return fwd(params, carve, x2, tk85)
 
     def dense(params, x2):
-        return fwd(params, dense_carve, x2)
+        return fwd(params, dense_carve, x2, jnp.int32(0))
 
     @jax.jit
     def skip_j(params, carve, x2, residual):
@@ -127,26 +138,32 @@ def main():
         return best
 
     iters = 1 if QUICK else 4
-    t_carved = timeit(carved, iters)
+    t_c75 = timeit(carved75, iters)
+    t_c85 = timeit(carved85, iters)
     t_dense = timeit(dense, max(1, iters - 1))
     s_tokens = -(-plan.seq_len // 128) * 128
     residual = jnp.zeros((2, s_tokens, cfg.dim), jnp.float32)
     t_skip = timeit(skip_path, iters, residual)
 
+    # TeaCache (thresh 0.15, use_ret_steps) computes ~half the steps;
+    # the computed half is split across the two drop stages in proportion
+    # to their step ranges (26 steps at 0.75, 24 at 0.85)
     n_comp = int(STEPS * COMPUTE_FRAC)
-    carved_clip = n_comp * t_carved + (STEPS - n_comp) * t_skip
+    n75 = round(n_comp * 26 / STEPS)
+    n85 = n_comp - n75
+    carved_clip = n75 * t_c75 + n85 * t_c85 + (STEPS - n_comp) * t_skip
     dense_clip = STEPS * t_dense
     speedup = dense_clip / carved_clip
 
     sel_desc = (f"joint {QROWS}-row group selection" if QROWS > 1
                 else "per-row selection")
     line = json.dumps({
-        "metric": "Wan2.1-1.3B DiT s/clip, Jenga-Base carving+TeaCache, "
-                  "832x480x81f, 50 steps, {} (our dense {:.0f}s; "
-                  "carving-only speedup {:.2f}x; per-call carved {:.2f}s "
-                  "dense {:.2f}s skip {:.3f}s)".format(
-                      sel_desc, dense_clip, t_dense / t_carved, t_carved,
-                      t_dense, t_skip),
+        "metric": "Wan2.1-1.3B DiT s/clip, Jenga-Base carving (drop "
+                  ".75/.85, {}) + TeaCache ({}+{} computed, {} skipped), "
+                  "832x480x81f, 50 steps (our dense {:.0f}s; per-call "
+                  "carved {:.2f}/{:.2f}s dense {:.2f}s skip {:.3f}s)"
+                  .format(sel_desc, n75, n85, STEPS - n_comp, dense_clip,
+                          t_c75, t_c85, t_dense, t_skip),
         "value": round(carved_clip, 2),
         "unit": "s/clip",
         "kernel_max_err": round(kerr, 5),

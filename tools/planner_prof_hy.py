@@ -95,7 +95,10 @@ def chained(stage):
         fn = once_joint if stage == "jointsel" else once
 
         def body(i, c):
-            out = fn(q * (1 + 0.001 * i.astype(jnp.bfloat16)), k)
+            # 1 + 0.05*i survives bf16 rounding (a 0.001 step rounds to
+            # exactly 1.0 -> XLA hoists the body as loop-invariant)
+            scale = (1.0 + 0.05 * i.astype(jnp.float32)).astype(q.dtype)
+            out = fn(q * scale, k)
             # strided (not col-0) reduction: col-0-only let XLA dead-code
             # eliminate the id sort in the pack stages entirely
             return c + jnp.sum(out[..., ::13].astype(jnp.float32))

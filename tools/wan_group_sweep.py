@@ -1,0 +1,74 @@
+"""KV-group width / q_rows sweep for the joint kernel at the Wan bench
+shape (b=2, h=12, 256 blocks) and both stage densities — checks whether
+the HY-tuned defaults (q_rows=4, group=8) hold at the smaller shape."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+import jax.numpy as jnp
+
+from jenga_tpu.curves.blocks import build_curve_plan
+from jenga_tpu.ops.block_sparse_attention import (
+    block_sparse_attention_grouped)
+from jenga_tpu.sparse.planner import (build_block_mask, mask_to_block_lists,
+                                      pack_block_lists)
+
+b, h, d = 2, 12, 128
+plan = build_curve_plan((21, 30, 52), "sliced", 128)
+s = -(-plan.seq_len // 128) * 128
+nb = s // 128
+key = jax.random.PRNGKey(0)
+kq, kk, kv = jax.random.split(key, 3)
+q = jax.random.normal(kq, (b, h, s, d), jnp.bfloat16)
+k = jax.random.normal(kk, (b, h, s, d), jnp.bfloat16)
+v = jax.random.normal(kv, (b, h, s, d), jnp.bfloat16)
+neighbors = jnp.asarray(plan.block_neighbors)
+seqlen = jnp.full((b,), plan.seq_len, jnp.int32)
+N = 8
+
+
+def timeit(fn, *a, iters=4):
+    float(fn(*a))
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(fn(*a))
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3 / N
+
+
+for drop in (0.75, 0.85):
+    tk = int(nb * (1.0 - drop))
+    for qr in (4, 8):
+        m = build_block_mask(q, k, top_k=tk, p_remain=0.15,
+                             text_start_block=nb, text_blocks=0,
+                             block_neighbors=neighbors, sel_group=qr)
+        u = jnp.any(m.reshape(b, h, nb // qr, qr, nb), axis=3)
+        gl = jax.block_until_ready(
+            pack_block_lists(*mask_to_block_lists(u), seqlens=seqlen))
+        dens = float(gl[..., 0].astype(jnp.float32).mean()) / nb
+        line = f"drop {drop} q_rows={qr} (density {dens:.3f}):"
+        for grp in (4, 6, 8, 12, 16):
+            try:
+                @jax.jit
+                def f(q, gl, qr=qr, grp=grp):
+                    def body(i, c):
+                        scale = (1.0 + 0.05 * i.astype(jnp.float32)) \
+                            .astype(q.dtype)
+                        out = block_sparse_attention_grouped(
+                            q * scale, k, v, gl, q_rows=qr, group=grp,
+                            text_start_block=nb, all_member=True)
+                        return c + jnp.sum(
+                            out[..., ::13].astype(jnp.float32))
+                    return jax.lax.fori_loop(0, N, body, 0.0)
+                tg = timeit(f, q, gl)
+                line += f"  g{grp}: {tg:6.2f} ms"
+            except Exception as e:
+                line += f"  g{grp}: FAIL({type(e).__name__})"
+        print(line, flush=True)
