@@ -280,7 +280,10 @@ def main():
     def note(msg):
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-    iters = 1 if QUICK else 2
+    # min-of-2 in QUICK mode too: one sample on the time-shared chip was
+    # a ±2% coin flip (VERDICT r1 weak-3); the extra carved/dense call
+    # costs ~10s of wall clock against the driver's budget.
+    iters = 2
     carve = hy.make_hy_carve(cfg, plan, sa_drop_rate=0.75, p_remain=0.05,
                              txt_block_num=2, q_rows=q_rows,
                              joint_sel=q_rows > 1)

@@ -482,6 +482,40 @@ def wan_head(params, cfg: WanConfig, h, aux,
                            cfg.patch_size, cfg.out_dim, channel_last=True)
 
 
+def wan_first_selection_mask(params, cfg: WanConfig, x, t, context,
+                             carve: WanCarve, top_k=None):
+    """Diagnostic: the carving planner's one-hot selection mask for the
+    FIRST block ([B, H, nb, nb]) — no attention is run. tools/bench_wan.py
+    uses it to report the realized selection density of the measured
+    regime (mirrors hyvideo.hy_first_selection_mask)."""
+    h, aux = wan_embed(params, cfg, x, t, context, carve)
+    p = params["blocks"][0]
+    e = (p["modulation"][None].astype(jnp.float32) + aux["e6"])
+    y = L.modulate(L.layer_norm(h, eps=cfg.eps),
+                   shift=e[:, 0:1], scale=e[:, 1:2])
+    b, s, d = y.shape
+    n, hd = cfg.num_heads, cfg.head_dim
+    sa = p["self_attn"]
+    q = L.rms_norm(L.linear(sa["q"], y), sa["norm_q"], cfg.eps)
+    k = L.rms_norm(L.linear(sa["k"], y), sa["norm_k"], cfg.eps)
+    q = L.apply_rope(q.reshape(b, s, n, hd), jnp.asarray(carve.rope_cos),
+                     jnp.asarray(carve.rope_sin))
+    k = L.apply_rope(k.reshape(b, s, n, hd), jnp.asarray(carve.rope_cos),
+                     jnp.asarray(carve.rope_sin))
+    nb = s // 128
+    if top_k is None:
+        top_k = int(nb * (1.0 - carve.sa_drop_rate))
+    qr = max(1, int(getattr(carve, "q_rows", 1)))
+    joint = qr > 1 and bool(getattr(carve, "joint_sel", False))
+    return build_block_mask(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        top_k=top_k, p_remain=carve.p_remain,
+        text_start_block=nb, text_blocks=0,
+        block_neighbors=carve.block_neighbors,
+        first_frame_blocks=carve.first_frame_blocks,
+        sel_group=qr if joint else 1)
+
+
 def wan_forward(params, cfg: WanConfig, x, t, context,
                 carve: WanCarve | None = None, clip_fea=None, y=None,
                 top_k=None, mesh=None, remat: bool = False):

@@ -9,10 +9,15 @@ T2V at 832x480x81f (~32k tokens), 50 denoise steps (one call covers both
 CFG branches as a batch of 2). Reference numbers on 1xH800: dense 111
 s/clip, Jenga-Base 26 s/clip (4.26x).
 
-Weights are random (no checkpoints in this image), which makes pooled-QK
-attention near-uniform; production checkpoints have peaked attention and
-select near the top-k floor, so the bench pins p_remain to reproduce that
-selection fraction (~29% of blocks incl. adjacency).
+Weights are random (no checkpoints in this image). Selection statistics
+are made production-like with the same protocol as the primary bench
+(see bench.py's module docstring for the full rationale): each block's
+k-projection is tied to its q-projection (trained DiTs have aligned q/k —
+that alignment is what turns RoPE into a decaying relative-position
+kernel and makes attention spatio-temporally local), and the latents get
+the autocorrelation of real VAE latents at mid-denoise. Every timed
+quantity is value-independent; only the planner's selection pattern
+changes, and the realized per-row ``density`` is reported in the JSON.
 
 Before timing, the block-sparse Pallas kernel is numerics-checked on the
 chip against the dense jnp reference at a production shape; the max error
@@ -52,7 +57,7 @@ def main():
     from jenga_tpu.curves.blocks import build_curve_plan
     from jenga_tpu.models.wan import (
         WAN_T2V_1_3B, init_wan_params, make_wan_carve, wan_embed, wan_head,
-        wan_trunk, wan_forward)
+        wan_trunk, wan_forward, wan_first_selection_mask)
 
     cfg = WAN_T2V_1_3B
     if QUICK:
@@ -71,9 +76,17 @@ def main():
     grid = (lat_f, lat_h // 2, lat_w // 2)
 
     params = init_wan_params(jax.random.PRNGKey(0), cfg)
+    # aligned-attention init: tie each block's k-projection to its
+    # q-projection (same protocol as bench.tie_qk_projections; see
+    # bench.py for why trained DiTs behave this way)
+    params = dict(params)
+    params["blocks"] = [
+        {**blk, "self_attn": {**blk["self_attn"],
+                              "k": dict(blk["self_attn"]["q"])}}
+        for blk in params["blocks"]]
     key = jax.random.PRNGKey(1)
-    x2 = jax.random.normal(key, (2, cfg.in_dim, lat_f, lat_h, lat_w),
-                           jnp.float32)
+    from bench import synth_latents
+    x2 = synth_latents(key, (2, cfg.in_dim, lat_f, lat_h, lat_w))
     t2 = jnp.full((2,), 600.0, jnp.float32)
     ctx2 = jax.random.normal(jax.random.fold_in(key, 1),
                              (2, cfg.text_len, cfg.text_dim), jnp.float32)
@@ -137,6 +150,19 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
+    # realized per-row selection density of the measured regime (first
+    # block, drop 0.75) — the honesty stat for the aligned-init protocol
+    density = -1.0
+    if jax.default_backend() != "cpu":
+        @jax.jit
+        def _sel(params, carve, x2, top_k):
+            return wan_first_selection_mask(params, cfg, x2, t2, ctx2,
+                                            carve, top_k)
+        m = _sel(params, carve, x2, tk75)
+        density = float(m.mean())
+        print(f"[bench_wan] density {density:.4f}", file=sys.stderr,
+              flush=True)
+
     iters = 1 if QUICK else 4
     t_c75 = timeit(carved75, iters)
     t_c85 = timeit(carved85, iters)
@@ -168,6 +194,7 @@ def main():
         "unit": "s/clip",
         "kernel_max_err": round(kerr, 5),
         "q_rows": QROWS,
+        "density": round(density, 4),
         "vs_baseline": round((dense_clip / carved_clip)
                              / REF_JENGA_BASE_SPEEDUP, 3),
     })
