@@ -344,7 +344,9 @@ def main():
     note(f"carved75 {t_c75:.2f}s; timing carved drop=0.85")
     t_c85 = timeit(carved85, (params, x), iters)
     note(f"carved85 {t_c85:.2f}s; timing dense")
-    t_dense = timeit(dense_fn, (params, x), max(1, iters - 1))
+    # same iteration count as the carved arms: min-of-fewer on a
+    # time-shared chip biased the dense arm slow (VERDICT r2 weak-3)
+    t_dense = timeit(dense_fn, (params, x), iters)
     note(f"dense {t_dense:.2f}s; timing skip path")
     s_img = plan.seq_len
     residual = jnp.zeros((1, -(-s_img // 128) * 128, cfg.hidden_size),
@@ -370,6 +372,45 @@ def main():
     dense_clip = STEPS * step_dense
     speedup = dense_clip / carved_clip
 
+    # ---- depth-extrapolation validation artifacts (VERDICT r2 item 2) --
+    # BENCH_SCAN=1 (3 layers, scan trunk) and BENCH_FULL=1 (6 layers, scan
+    # trunk) each write their raw per-arm times; the headline (unrolled
+    # QUICK) run then embeds the FULL-vs-SCAN per-layer agreement — the
+    # committed evidence that trunk cost is linear in depth — plus the
+    # scan structure's own overhead vs the unrolled trunk.
+    here = os.path.dirname(os.path.abspath(__file__))
+    raw = {"layers": dbl + sgl, "scan": SCAN, "t_c75": round(t_c75, 3),
+           "t_c85": round(t_c85, 3), "t_dense": round(t_dense, 3),
+           "t_skip": round(t_skip, 4)}
+    if (FULL or os.environ.get("BENCH_SCAN")) and \
+            jax.default_backend() != "cpu":
+        name = "BENCH_FULL.json" if FULL else "BENCH_SCAN.json"
+        with open(os.path.join(here, name), "w") as f:
+            json.dump(raw, f)
+            f.write("\n")
+        note(f"wrote {name}: {raw}")
+
+    def _per_layer(r, arm):
+        return (r[arm] - r["t_skip"]) / r["layers"]
+
+    agreement = scan_overhead = None
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json")) as f:
+            rf = json.load(f)
+        with open(os.path.join(here, "BENCH_SCAN.json")) as f:
+            rs = json.load(f)
+        # FULL (6 layers) vs QUICK (3 layers), both scan trunks: 1.0 means
+        # the per-layer carved cost is depth-independent and the x20
+        # extrapolation is exact.
+        agreement = round(_per_layer(rf, "t_c75") / _per_layer(rs, "t_c75"),
+                          4)
+        if not SCAN:
+            scan_overhead = round(
+                _per_layer(rs, "t_c75")
+                / ((t_c75 - t_skip) / (dbl + sgl)), 4)
+    except (OSError, ValueError, ZeroDivisionError):
+        pass
+
     sel_desc = ("joint {}-row group selection".format(q_rows)
                 if q_rows > 1 else "per-row selection")
     print(json.dumps({
@@ -387,6 +428,13 @@ def main():
         "q_rows": q_rows,
         "density": round(density, 4),
         "q4_union_frac": round(union4, 4),
+        # FULL(6-layer)/QUICK(3-layer) per-layer carved-cost ratio, both
+        # scan trunks (BENCH_FULL.json / BENCH_SCAN.json artifacts);
+        # 1.0 = extrapolation exact. scan_overhead_x75 = scan-trunk cost
+        # per layer vs this run's unrolled trunk (the scan structure's own
+        # cost, excluded from the headline).
+        "full_vs_quick_agreement": agreement,
+        "scan_overhead_x75": scan_overhead,
         "vs_baseline": round(speedup / REF_HY_BASE_SPEEDUP, 3),
     }))
 

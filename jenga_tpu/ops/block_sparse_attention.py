@@ -50,6 +50,7 @@ def _kernel(
                     #   block's K and V arrive in ONE 64KB DMA (half the
                     #   transfer count of separate K/V fetches)
     lists_hbm,      # ANY  (bh*nqb*row,) int32 packed [count, ids...] rows
+    maxk_smem,      # SMEM (bh, 1) f32 — max key L2 norm per bh row
     o_ref,          # VMEM (1, block_m, d)
     idx_smem,       # SMEM (2*row,) int32 — double-buffered across rows
                     #   (flat: Mosaic can't sublane-slice a (2, row) SMEM)
@@ -64,6 +65,7 @@ def _kernel(
     block_n: int,
     row_size: int,
     group: int,
+    fixed_max: bool,
 ):
     """Grid (batch*heads, num_q_blocks). Each step processes its query
     block's selected KV in *groups* of ``group`` blocks: ``group`` DMAs are
@@ -155,10 +157,27 @@ def _kernel(
     def _():
         idx_dma(step + 1, 1 - parity).start()
 
-    q = q_ref[0].astype(jnp.float32) * (sm_scale * _LOG2E)
-    q = q.astype(kv_buf.dtype)
+    q_f32 = q_ref[0].astype(jnp.float32)
+    q = (q_f32 * (sm_scale * _LOG2E)).astype(kv_buf.dtype)
 
     neg_inf = jnp.float32(-1e30)
+    if fixed_max:
+        # Fixed-max epilogue: softmax against a per-query-row CONSTANT
+        # instead of the streaming running max. M_i is the Cauchy-Schwarz
+        # upper bound on the base-2 logits (scale*log2e*||q_i||*max||k||,
+        # plus the text bias when positive), shifted down 63 to center the
+        # f32 exp2 window: qk - M <= 63 (no overflow, f32 caps at 2^127)
+        # and the bound overestimates the true row max by at most
+        # 2*scale*log2e*||q||*max||k|| (qk >= -bound), so exp2 underflow
+        # to a zero row needs a ~126-logit gap — impossible for qk-normed
+        # heads (gap <= ~33 at unit RMS gains). Removing the max reduction
+        # + alpha rescale from every KV group measured 434 -> 377 ms/layer
+        # at the HY-720p joint shape (tools/epilogue_probe.py), dev vs the
+        # running-max kernel 2.4e-4 (f32/bf16 are scale-free in relative
+        # precision, so acc/l loses nothing to the shift).
+        qn = jnp.sqrt(jnp.sum(q_f32 * q_f32, axis=-1, keepdims=True))
+        m_fix = (qn * (sm_scale * _LOG2E) * maxk_smem[bh, 0]
+                 + max(text_amp, 0.0) - 63.0)            # (block_m, 1)
     m0 = jnp.full((block_m, 128), neg_inf, jnp.float32)
     l0 = jnp.zeros((block_m, 128), jnp.float32)
     acc0 = jnp.zeros((block_m, d), jnp.float32)
@@ -171,7 +190,6 @@ def _kernel(
     lane = jax.lax.rem(col, block_n)
 
     def compute_group(j, slot, carry):
-        m_prev, l_prev, acc = carry
         wait_group(parity, bh, j, slot)
 
         kb = kv_buf[slot, :, :d]
@@ -196,12 +214,21 @@ def _kernel(
             qk = qk + jnp.where(amp_on, jnp.float32(text_amp), 0.0)
         qk = jnp.where(valid, qk, neg_inf)
 
+        vb = kv_buf[slot, :, d:]
+        if fixed_max:
+            l_prev, acc = carry
+            p = jnp.exp2(qk - m_fix)                           # (bm, gn)
+            l_next = l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc + jax.lax.dot_general(
+                p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return l_next, acc
+        m_prev, l_prev, acc = carry
         m_cur = jnp.max(qk, axis=-1, keepdims=True)           # (bm, 1)
         m_next = jnp.maximum(m_prev, m_cur)                    # (bm, 128)
         alpha = jnp.exp2(m_prev - m_next)
         p = jnp.exp2(qk - m_next[:, :1])                       # (bm, gn)
         l_next = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        vb = kv_buf[slot, :, d:]
         acc = acc * alpha[:, :1] + jax.lax.dot_general(
             p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -219,7 +246,8 @@ def _kernel(
     @pl.when(n_groups > 1)
     def _():
         start_group(parity, bh, 1, wslot(1))
-    carry = compute_group(0, 2, (m0, l0, acc0))
+    carry0 = (l0, acc0) if fixed_max else (m0, l0, acc0)
+    carry = compute_group(0, 2, carry0)
 
     @pl.when(n_groups > 2)
     def _():
@@ -241,7 +269,8 @@ def _kernel(
 
         return compute_group(j, wslot(j), carry)
 
-    m, l, acc = jax.lax.fori_loop(1, n_groups, body, carry)
+    out = jax.lax.fori_loop(1, n_groups, body, carry)
+    l, acc = out[-2:]
     l_safe = jnp.where(l[:, :1] == 0.0, 1.0, l[:, :1])
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
 
@@ -249,7 +278,7 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "text_amp", "text_start_block",
-                     "block_n", "group", "interpret"))
+                     "block_n", "group", "interpret", "fixed_max"))
 def block_sparse_attention(
     q: jax.Array,            # [B, H, S, D], S a multiple of 128
     k: jax.Array,            # [B, H, Skv, D]
@@ -262,6 +291,7 @@ def block_sparse_attention(
     block_n: int = DEFAULT_BLOCK,
     group: int | None = None,
     interpret: bool | None = None,
+    fixed_max: bool = True,
 ) -> jax.Array:
     """Block-sparse flash attention. Returns [B, H, S, D] in q.dtype.
 
@@ -271,6 +301,12 @@ def block_sparse_attention(
     per-sample valid KV length (keys past it are masked — padded text
     tokens and the 128-pad tail), and slots 2.. the ascending block ids,
     padded to a 1024-aligned row.
+
+    ``fixed_max``: softmax against the per-row Cauchy-Schwarz logit bound
+    instead of a streaming running max — drops the per-group max
+    reduction and alpha rescale (measured 13%% kernel time at production
+    density, tools/epilogue_probe.py) at a ~2e-4 output deviation.
+    ``False`` restores the classic flash-attention recurrence.
     """
     if interpret is None:
         # Mosaic only targets TPU; emulate on CPU (tests, tiny local runs).
@@ -302,7 +338,8 @@ def block_sparse_attention(
             jnp.pad(q, padcfg), jnp.pad(k, padcfg), jnp.pad(v, padcfg),
             block_lists, sm_scale=sm_scale, text_amp=text_amp,
             text_start_block=text_start_block,
-            block_n=block_n, group=group, interpret=interpret)
+            block_n=block_n, group=group, interpret=interpret,
+            fixed_max=fixed_max)
         return out[..., :d]
     nqb = s // block_m
     row_size = block_lists.shape[-1]
@@ -316,13 +353,14 @@ def block_sparse_attention(
     kvf = jnp.concatenate([k.reshape(bh, skv, d), v.reshape(bh, skv, d)],
                           axis=-1)
     lists_flat = block_lists.reshape(bh * nqb * row_size)
+    maxk = _max_key_norms(k, bh)
 
     kernel = functools.partial(
         _kernel,
         sm_scale=float(sm_scale), text_amp=float(text_amp),
         text_start_block=int(text_start_block),
         block_m=block_m, block_n=block_n, row_size=row_size,
-        group=int(group))
+        group=int(group), fixed_max=bool(fixed_max))
 
     out = pl.pallas_call(
         kernel,
@@ -333,6 +371,7 @@ def block_sparse_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (bh, 1) whole-array
         ],
         out_specs=pl.BlockSpec((1, block_m, d), lambda bi, qi: (bi, qi, 0),
                                memory_space=pltpu.VMEM),
@@ -348,8 +387,18 @@ def block_sparse_attention(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(qf, kvf, lists_flat)
+    )(qf, kvf, lists_flat, maxk)
     return out.reshape(b, h, s, d)
+
+
+def _max_key_norms(k: jax.Array, bh: int) -> jax.Array:
+    """[bh, 1] f32 max key L2 norm per batch-head — the fixed-max
+    epilogue's Cauchy-Schwarz bound input. One fused HBM pass over K
+    (~1 ms at the 115k-token production shape, vs the ~57 ms/layer the
+    bound saves in-kernel)."""
+    kf = k.astype(jnp.float32)
+    return jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=-1), axis=-1)) \
+        .reshape(bh, 1)
 
 
 # ------------------------------------------------------- shared-gather mode
@@ -358,6 +407,7 @@ def _kernel_grouped(
     q_ref,          # VMEM (1, q_rows*block_m, d)
     kv_hbm,         # ANY  (bh, skv, 2*d) packed K|V
     lists_hbm,      # ANY  (bh*ngr*2*row,) int32 grouped rows
+    maxk_smem,      # SMEM (bh, 1) f32 — max key L2 norm per bh row
     o_ref,          # VMEM (1, q_rows*block_m, d)
     idx_smem,       # SMEM (2 * 2*row,) int32 — double-buffered rows
     kv_buf,         # VMEM (4, group*block_n, 2*d)
@@ -373,6 +423,7 @@ def _kernel_grouped(
     group: int,
     q_rows: int,
     all_member: bool,
+    fixed_max: bool,
 ):
     """Shared-gather variant: ``q_rows`` query blocks per grid step share
     one union block list (see planner.pack_block_lists_grouped); each
@@ -464,10 +515,17 @@ def _kernel_grouped(
     def _():
         idx_dma(step + 1, 1 - parity).start()
 
-    q_all = q_ref[0].astype(jnp.float32) * (sm_scale * _LOG2E)
-    q_all = q_all.astype(kv_buf.dtype)
+    q_f32 = q_ref[0].astype(jnp.float32)
+    q_all = (q_f32 * (sm_scale * _LOG2E)).astype(kv_buf.dtype)
 
     neg_inf = jnp.float32(-1e30)
+    if fixed_max:
+        # Per-row Cauchy-Schwarz logit bound replacing the running max —
+        # see `_kernel` for the numerics argument. Measured 434 -> 377
+        # ms/layer at the HY-720p joint q4g8 shape (tools/epilogue_probe).
+        qn = jnp.sqrt(jnp.sum(q_f32 * q_f32, axis=-1, keepdims=True))
+        m_fix = (qn * (sm_scale * _LOG2E) * maxk_smem[bh, 0]
+                 + max(text_amp, 0.0) - 63.0)               # (rr, 1)
     m0 = jnp.full((rr, 128), neg_inf, jnp.float32)
     l0 = jnp.zeros((rr, 128), jnp.float32)
     acc0 = jnp.zeros((rr, d), jnp.float32)
@@ -520,7 +578,6 @@ def _kernel_grouped(
         return qk
 
     def compute_group(j, slot, carry):
-        m_prev, l_prev, acc = carry
         wait_group(parity, bh, j, slot)
 
         kb = kv_buf[slot, :, :d]
@@ -553,6 +610,15 @@ def _kernel_grouped(
                 qk = qk + row_video * camp
         else:
             qk = _mask_qk(qk, j)
+        if fixed_max:
+            l_prev, acc = carry
+            p = jnp.exp2(qk - m_fix)
+            l_next = l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc + jax.lax.dot_general(
+                p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return l_next, acc
+        m_prev, l_prev, acc = carry
         m_cur = jnp.max(qk, axis=-1, keepdims=True)     # (rr, 1)
         m_next = jnp.maximum(m_prev, m_cur)             # (rr, 128)
         alpha = jnp.exp2(m_prev - m_next)
@@ -570,7 +636,8 @@ def _kernel_grouped(
     @pl.when(n_groups > 1)
     def _():
         start_group(parity, bh, 1, wslot(1))
-    carry = compute_group(0, 2, (m0, l0, acc0))
+    carry0 = (l0, acc0) if fixed_max else (m0, l0, acc0)
+    carry = compute_group(0, 2, carry0)
 
     @pl.when(n_groups > 2)
     def _():
@@ -608,7 +675,8 @@ def _kernel_grouped(
 
         return compute_group(j + 1, wslot(j + 1), carry)
 
-    m, l, acc = jax.lax.fori_loop(0, n_groups // 2, pair_body, carry)
+    out = jax.lax.fori_loop(0, n_groups // 2, pair_body, carry)
+    l, acc = out[-2:]
     l_safe = jnp.where(l[:, :1] == 0.0, 1.0, l[:, :1])
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
 
@@ -616,7 +684,8 @@ def _kernel_grouped(
 @functools.partial(
     jax.jit,
     static_argnames=("q_rows", "sm_scale", "text_amp", "text_start_block",
-                     "block_n", "group", "interpret", "all_member"))
+                     "block_n", "group", "interpret", "all_member",
+                     "fixed_max"))
 def block_sparse_attention_grouped(
     q: jax.Array,            # [B, H, S, D], S a multiple of q_rows*128
     k: jax.Array,
@@ -632,6 +701,7 @@ def block_sparse_attention_grouped(
     group: int | None = None,
     interpret: bool | None = None,
     all_member: bool = False,
+    fixed_max: bool = True,
 ) -> jax.Array:
     """Shared-gather block-sparse attention: ``q_rows`` query blocks per
     grid step share one union block list (planner
@@ -679,7 +749,7 @@ def block_sparse_attention_grouped(
             block_lists, q_rows=q_rows, sm_scale=sm_scale,
             text_amp=text_amp, text_start_block=text_start_block,
             block_n=block_n, group=group, interpret=interpret,
-            all_member=all_member)
+            all_member=all_member, fixed_max=fixed_max)
         return out[..., :d]
     ngr = s // (block_m * q_rows)
     stride = block_lists.shape[-1]
@@ -693,13 +763,15 @@ def block_sparse_attention_grouped(
     kvf = jnp.concatenate([k.reshape(bh, skv, d), v.reshape(bh, skv, d)],
                           axis=-1)
     lists_flat = block_lists.reshape(bh * ngr * stride)
+    maxk = _max_key_norms(k, bh)
 
     kernel = functools.partial(
         _kernel_grouped,
         sm_scale=float(sm_scale), text_amp=float(text_amp),
         text_start_block=int(text_start_block),
         block_m=block_m, block_n=block_n, row_size=row_size,
-        group=int(group), q_rows=int(q_rows), all_member=bool(all_member))
+        group=int(group), q_rows=int(q_rows), all_member=bool(all_member),
+        fixed_max=bool(fixed_max))
 
     out = pl.pallas_call(
         kernel,
@@ -711,6 +783,7 @@ def block_sparse_attention_grouped(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (bh, 1) whole-array
         ],
         out_specs=pl.BlockSpec((1, q_rows * block_m, d),
                                lambda bi, qi: (bi, qi, 0),
@@ -725,7 +798,7 @@ def block_sparse_attention_grouped(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(qf, kvf, lists_flat)
+    )(qf, kvf, lists_flat, maxk)
     return out.reshape(b, h, s, d)
 
 

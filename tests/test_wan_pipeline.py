@@ -149,6 +149,32 @@ class TestPipeline:
         b = pipe.generate(ctx, ctx, OPTS, decode=False)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_joint_group_selection_close_to_per_row(self):
+        """The TPU production carving granularity (q_group=4 +
+        joint_sel: one pooled selection per 4 query blocks feeding the
+        all-member shared-gather kernel) must track the per-row-selection
+        trajectory end-to-end — the pipeline-level closeness evidence for
+        the headline bench's joint-selection deviation (the reference
+        always selects per 128-token row,
+        `/root/reference/hyvideo/modules/attention_block_triton_diffres.py
+        :198-295`)."""
+        import dataclasses
+        pipe = _pipeline()
+        ctx = jax.random.normal(jax.random.PRNGKey(5), (10, TINY.text_dim))
+        # big enough for 2 groups of 4 query blocks: grid (6, 12, 16)
+        # = 1152 video tokens = 9 blocks
+        per_row = WanT2VOptions(size=(256, 192), frame_num=21,
+                                sampling_steps=4, shift=5.0,
+                                sa_drop_rates=(0.6, 0.7), p_remain=0.7,
+                                teacache_thresh=None, seed=3, q_group=1)
+        joint = dataclasses.replace(per_row, q_group=4, joint_sel=True)
+        a = pipe.generate(ctx, jnp.zeros_like(ctx), per_row, decode=False)
+        b = pipe.generate(ctx, jnp.zeros_like(ctx), joint, decode=False)
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert np.isfinite(b).all()
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-8)
+        assert rel < 0.05, f"joint-selection trajectory diverged: rel={rel}"
+
 
 class TestDPM:
     def test_linear_field_convergence(self):

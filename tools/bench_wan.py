@@ -166,7 +166,9 @@ def main():
     iters = 1 if QUICK else 4
     t_c75 = timeit(carved75, iters)
     t_c85 = timeit(carved85, iters)
-    t_dense = timeit(dense, max(1, iters - 1))
+    # same iteration count as the carved arms: min-of-fewer on a
+    # time-shared chip biased the dense arm slow (VERDICT r2 weak-3)
+    t_dense = timeit(dense, iters)
     s_tokens = -(-plan.seq_len // 128) * 128
     residual = jnp.zeros((2, s_tokens, cfg.dim), jnp.float32)
     t_skip = timeit(skip_path, iters, residual)

@@ -109,7 +109,8 @@ def _kernel_variant(q_ref, kv_hbm, lists_hbm, o_ref, idx_smem, kv_buf,
     q_all = q_all.astype(kv_buf.dtype)
 
     neg_inf = jnp.float32(-1e30)
-    m0 = jnp.full((rr, 128), 20.0 if variant == "nomax" else neg_inf,
+    m0 = jnp.full((rr, 128),
+                  20.0 if variant in ("nomax", "fixedmax") else neg_inf,
                   jnp.float32)
     l0 = jnp.zeros((rr, 128), jnp.float32)
     acc0 = jnp.zeros((rr, d), jnp.float32)
@@ -166,20 +167,13 @@ def _kernel_variant(q_ref, kv_hbm, lists_hbm, o_ref, idx_smem, kv_buf,
                 return out
             qk = jax.lax.cond(safe, lambda qk_: qk_, _unsafe, qk)
         # oracle/nomax: no masking at all
-        if variant == "fixedmax":
-            # full masking, but NO running max: m stays at the f32-safe
-            # upper bound (probe: constant 20; production: per-row
-            # Cauchy-Schwarz bound scale*log2e*||q_i||*max||k||). p values
-            # are uniformly small but f32/bf16 are scale-free in relative
-            # precision, so acc/l is as accurate as the rescaling path.
-            m_next = m_prev
-            p = jnp.exp2(qk - m_next[:, :1])
-            l_next = l_prev + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc + jax.lax.dot_general(
-                p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            return m_next, l_next, acc
-        if variant == "nomax":
+        if variant in ("fixedmax", "nomax"):
+            # NO running max: m stays at the f32-safe upper bound (probe:
+            # constant 20; production: per-row Cauchy-Schwarz bound
+            # scale*log2e*||q_i||*max||k||). p values are uniformly small
+            # but f32/bf16 are scale-free in relative precision, so acc/l
+            # is as accurate as the rescaling path. fixedmax keeps full
+            # masking (above); nomax also dropped it.
             m_next = m_prev
             p = jnp.exp2(qk - m_next[:, :1])
             l_next = l_prev + jnp.sum(p, axis=-1, keepdims=True)
@@ -321,7 +315,7 @@ def main():
 
     base_out = None
     print(f"q_rows={qr} group={grp} density {dens:.3f}", flush=True)
-    for variant in ("base", "condqk", "oracle", "nomax"):
+    for variant in ("base", "condqk", "fixedmax", "oracle", "nomax"):
         try:
             f = functools.partial(run_variant, q_rows=qr, group=grp,
                                   variant=variant)
@@ -330,6 +324,8 @@ def main():
             if variant == "base":
                 base_out = out
                 err = 0.0
+            elif base_out is None:
+                err = float("nan")
             else:
                 err = float(jnp.max(jnp.abs(out - base_out)))
             print(f"  {variant:7s} {t:7.1f} ms  (max dev vs base {err:.2e})",

