@@ -15,8 +15,9 @@ Covers the three flagship multi-chip paths:
   * Wan2.1: full carved CFG denoise step (forward + guidance + first-order
     flow update) with Ulysses sequence parallelism and FSDP-sharded params;
   * HunyuanVideo: carved MMDiT forward with trailing text blocks, nonzero
-    text-amplitude bias and the shared-gather kernel (q_rows=2) — the
-    joint-text Ulysses path (reference semantics
+    text-amplitude bias and the PRODUCTION shared-gather configuration
+    (q_rows=4, joint group selection, all-member kernel) — the joint-text
+    Ulysses path (reference semantics
     `/root/reference/hyvideo/modules/xdit_ring_atten.py:133-177`);
   * HunyuanVideo ring fallback: head count NOT divisible by the mesh, so
     joint attention runs as ring attention with replicated text KV.
@@ -96,7 +97,8 @@ def wan_step(n_devices: int) -> None:
 
 
 def _hy_case(n_devices: int, heads: int, q_rows: int, label: str,
-             sa_drop_rate: float = 0.6) -> None:
+             sa_drop_rate: float = 0.6, joint_sel: bool = False,
+             grid=(4, 8, 12), lat=(4, 16, 24)) -> None:
     from jenga_tpu.curves.blocks import build_curve_plan
     from jenga_tpu.models.hyvideo import (
         HYVideoConfig, init_hyvideo_params, make_hy_carve, hyvideo_forward)
@@ -112,15 +114,14 @@ def _hy_case(n_devices: int, heads: int, q_rows: int, label: str,
     params = init_hyvideo_params(jax.random.PRNGKey(1), cfg)
     sharded = shard_params_fsdp(params, mesh)
 
-    grid = (4, 8, 12)  # 384 img tokens = 3 blocks
-    txt_len = 256      # 2 trailing text blocks -> 640 total, /8 devices
+    txt_len = 256      # 2 trailing text blocks
     plan = build_curve_plan(grid, "gilbert", 128)
     carve = make_hy_carve(cfg, plan, sa_drop_rate=sa_drop_rate,
                           p_remain=0.5, text_amp=0.5, txt_block_num=2,
-                          q_rows=q_rows)
+                          q_rows=q_rows, joint_sel=joint_sel)
 
     key = jax.random.PRNGKey(7)
-    x = jax.random.normal(key, (1, cfg.in_channels, 4, 16, 24), jnp.float32)
+    x = jax.random.normal(key, (1, cfg.in_channels) + lat, jnp.float32)
     t = jnp.array([500.0], jnp.float32)
     txt = jax.random.normal(jax.random.fold_in(key, 1),
                             (1, txt_len, cfg.text_states_dim), jnp.float32)
@@ -141,9 +142,14 @@ def _hy_case(n_devices: int, heads: int, q_rows: int, label: str,
 
 
 def hyvideo_step(n_devices: int) -> None:
-    """Carved HY MMDiT forward over the mesh with joint text blocks, a
-    nonzero text-amp bias and the shared-gather kernel (q_rows=2)."""
-    _hy_case(n_devices, heads=n_devices, q_rows=2, label="hy ulysses q2")
+    """Carved HY MMDiT forward over the mesh in the PRODUCTION kernel
+    configuration: joint 4-row group selection (``joint_sel=True``)
+    feeding the all-member shared-gather kernel, with joint text blocks
+    and a nonzero text-amp bias — the exact headline-bench path
+    (VERDICT r2 item 5). 1024 img tokens = 8 query blocks = 2 full
+    4-row groups (+ the padded text group)."""
+    _hy_case(n_devices, heads=n_devices, q_rows=4, label="hy ulysses q4 joint",
+             joint_sel=True, grid=(4, 16, 16), lat=(4, 32, 32))
 
 
 def hyvideo_ring_fallback(n_devices: int) -> None:

@@ -96,8 +96,16 @@ def make_multihost_sp_mesh(axis: str = "sp", dcn_axis: str = "dp") -> Mesh:
     if procs == 1:
         return Mesh(np.asarray(jax.devices()).reshape(1, local),
                     (dcn_axis, axis))
-    dev = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(1, local), dcn_mesh_shape=(procs, 1))
+    try:
+        # TPU pods: lay the sp axis over each slice's ICI domain
+        dev = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, local), dcn_mesh_shape=(procs, 1))
+    except ValueError:
+        # backends without slice topology (multi-process CPU — the
+        # tests/test_distributed_init.py path): group by owning process,
+        # which is exactly the "ICI domain" of a host-local backend
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        dev = np.asarray(devs).reshape(procs, local)
     return Mesh(dev, (dcn_axis, axis))
 
 
