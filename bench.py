@@ -294,14 +294,18 @@ def main():
     tk0 = jnp.int32(0)
 
     # realized selection statistics of the measured regime (first double
-    # block): per-row density and the union fraction of 4-row shared-gather
-    # groups — the honesty stats for the smooth-input protocol.
+    # block): per-row density and the union fraction of q_rows-wide
+    # shared-gather groups — the honesty stats for the smooth-input
+    # protocol.
+    gw = max(2, q_rows)
+
     @jax.jit
     def _sel_stats(params, carve, x, top_k):
         m = hy.hy_first_selection_mask(params, cfg, x, t, txt, mask, txt2,
                                        carve, guidance, top_k=top_k)
         b_, h_, nq, nk = m.shape
-        g = m.reshape(b_, h_, nq // 4, 4, nk)
+        nq_t = (nq // gw) * gw      # drop a ragged tail group for the stat
+        g = m[:, :, :nq_t].reshape(b_, h_, nq_t // gw, gw, nk)
         return m.mean(), jnp.any(g, axis=3).mean()
 
     # the three 115k-token programs compile concurrently (the remote

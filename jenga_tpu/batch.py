@@ -14,7 +14,8 @@ from __future__ import annotations
 import json
 import os
 
-__all__ = ["load_prompt_list", "run_batch"]
+__all__ = ["load_prompt_list", "load_vbench_info", "run_batch",
+           "run_vbench_batch", "vbench_filename"]
 
 
 def load_prompt_list(path: str, remain_list: str | None = None,
@@ -45,6 +46,77 @@ def load_prompt_list(path: str, remain_list: str | None = None,
             prompts = [line.strip() for line in f if line.strip()]
         ids = [f"{i:04d}" for i in range(len(prompts))]
     return list(zip(ids[cur_id::chunk_num], prompts[cur_id::chunk_num]))
+
+
+def load_vbench_info(path: str, dimension: str | None = None,
+                     chunk_num: int = 1, cur_id: int = 0):
+    """Load a VBench ``full_info.json``-style file: a list of
+    ``{"prompt_en": ..., "dimension": [...]}`` records.
+
+    Returns a list of ``{"prompt": str, "dimensions": [str, ...]}`` dicts,
+    optionally filtered to prompts tagged with ``dimension`` and stride-
+    sharded across hosts like :func:`load_prompt_list`. This is the input
+    side of the standard VBench evaluation protocol (the reference feeds
+    the same JSONs through its id-based loader,
+    `/root/reference/jenga_wan.py:950-972`; dimension tags ride along here
+    so the output naming below is turnkey for ``vbench evaluate``).
+    """
+    with open(path) as f:
+        data = json.load(f)
+    items = []
+    for rec in data:
+        if not (isinstance(rec, dict) and "prompt_en" in rec):
+            continue
+        dims = list(rec.get("dimension", []))
+        if dimension is not None and dimension not in dims:
+            continue
+        items.append({"prompt": rec["prompt_en"], "dimensions": dims})
+    return items[cur_id::chunk_num]
+
+
+def vbench_filename(prompt: str, sample_idx: int, suffix: str = ".mp4"):
+    """The standard VBench sampled-video name: ``{prompt}-{index}{ext}``.
+
+    VBench's evaluator locates each prompt's samples by this exact
+    convention (prompt text verbatim, ``-0..-4`` sample indices). Only
+    path separators are replaced (they would escape the output dir);
+    everything else is kept verbatim as the protocol requires.
+    """
+    safe = prompt.replace("/", " ").replace("\x00", "")
+    return f"{safe}-{sample_idx}{suffix}"
+
+
+def run_vbench_batch(infos, generate_fn, save_fn, out_dir: str,
+                     samples_per_prompt: int = 5, suffix: str = ".mp4",
+                     skip_existing: bool = True, log=print, seed: int = 0):
+    """VBench-protocol sampling loop: ``samples_per_prompt`` videos per
+    prompt (the protocol's 5), named ``{prompt}-{i}{suffix}`` so a
+    ``vbench evaluate --videos_path out_dir`` run needs no renaming.
+
+    ``generate_fn(prompt, seed)`` is called with a distinct deterministic
+    seed per sample (``seed + i``); existing files are skipped for resume.
+    Returns (prompt, path, status) triples.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    results = []
+    for info in infos:
+        prompt = info["prompt"] if isinstance(info, dict) else str(info)
+        for i in range(samples_per_prompt):
+            path = os.path.join(out_dir, vbench_filename(prompt, i, suffix))
+            if skip_existing and os.path.exists(path):
+                log(f"[vbench] exists, skipping: {os.path.basename(path)}")
+                results.append((prompt, path, "skipped"))
+                continue
+            try:
+                out = generate_fn(prompt, seed + i)
+                save_fn(path, out)
+                log(f"[vbench] saved {os.path.basename(path)}")
+                results.append((prompt, path, "ok"))
+            except Exception as e:  # noqa: BLE001 - batch isolation
+                log(f"[vbench] FAILED {prompt!r}#{i}: "
+                    f"{type(e).__name__}: {e}")
+                results.append((prompt, path, f"error: {e}"))
+    return results
 
 
 def run_batch(items, generate_fn, save_fn, out_dir: str,

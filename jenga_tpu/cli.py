@@ -33,6 +33,15 @@ def _common(p: argparse.ArgumentParser):
                    help="this host's shard index")
     p.add_argument("--out-dir", type=str, default="outputs",
                    help="directory for id-stamped batch outputs")
+    p.add_argument("--vbench", action="store_true",
+                   help="treat --prompt-file as a VBench full_info.json and "
+                        "emit the evaluation protocol's naming: "
+                        "{prompt}-{i}.mp4, --vbench-samples per prompt")
+    p.add_argument("--vbench-samples", type=int, default=5,
+                   help="samples per prompt under --vbench (protocol: 5)")
+    p.add_argument("--vbench-dimension", type=str, default=None,
+                   help="only generate prompts tagged with this VBench "
+                        "dimension")
     p.add_argument("--neg-prompt", type=str, default=None)
     p.add_argument("--ckpt-dir", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -189,16 +198,34 @@ def _maybe_extend_prompt(args, prompt):
 
 
 def _maybe_run_batch(args, generate_fn):
-    """If --prompt-file was given, run the id-stamped batch loop and
-    return True (reference `/root/reference/jenga_wan.py:947-981`)."""
+    """If --prompt-file was given, run the batch loop and return True.
+
+    Default: the reference's id-stamped naming + resume
+    (`/root/reference/jenga_wan.py:947-981`). With --vbench: the VBench
+    evaluation protocol — full_info.json input, {prompt}-{i}.mp4 naming,
+    --vbench-samples per prompt with per-sample seeds."""
     if not args.prompt_file:
         return False
+    suffix = ".npy" if args.latents_only else ".mp4"
+    if getattr(args, "vbench", False):
+        from .batch import load_vbench_info, run_vbench_batch
+        infos = load_vbench_info(args.prompt_file,
+                                 dimension=args.vbench_dimension,
+                                 chunk_num=args.chunk_num,
+                                 cur_id=args.cur_id)
+        print(f"vbench: {len(infos)} prompts x {args.vbench_samples} "
+              f"samples (shard {args.cur_id}/{args.chunk_num})")
+        run_vbench_batch(
+            infos, lambda p, s: generate_fn(p, seed=s),
+            lambda p, o: _save_output(p, o, args.latents_only),
+            args.out_dir, samples_per_prompt=args.vbench_samples,
+            suffix=suffix, seed=args.seed)
+        return True
     from .batch import load_prompt_list, run_batch
     items = load_prompt_list(args.prompt_file, args.remain_list,
                              args.chunk_num, args.cur_id)
     print(f"batch: {len(items)} prompts "
           f"(shard {args.cur_id}/{args.chunk_num})")
-    suffix = ".npy" if args.latents_only else ".mp4"
     run_batch(items, generate_fn,
               lambda p, o: _save_output(p, o, args.latents_only),
               args.out_dir, suffix=suffix, seed=args.seed)
@@ -241,14 +268,15 @@ def run_hyvideo_t2v(args):
 
     sampler = _hy_sampler(args, i2v=False)
 
-    def gen(prompt):
+    def gen(prompt, seed=None):
+        o = opts if seed is None else _dc.replace(opts, seed=seed)
         if sampler.text_encoder is not None:
-            return sampler.predict_prompt(prompt=prompt, opts=opts,
+            return sampler.predict_prompt(prompt=prompt, opts=o,
                                           negative_prompt=args.neg_prompt,
                                           decode=not args.latents_only)
         # no encoder checkpoints: zero embeddings (smoke mode)
         txt, mask, txt2 = _zero_hy_text(sampler.cfg)
-        return sampler.predict(txt, mask, txt2, opts,
+        return sampler.predict(txt, mask, txt2, o,
                                decode=not args.latents_only)
 
     if _maybe_run_batch(args, gen):
@@ -421,13 +449,15 @@ def run_wan_t2v(args):
 
     sampler = _wan_sampler(args, i2v=False)
 
-    def gen(prompt):
+    def gen(prompt, seed=None):
+        import dataclasses as _dc
+        o = opts if seed is None else _dc.replace(opts, seed=seed)
         if sampler.t5 is not None:
             return sampler.generate_prompt(
-                prompt, opts, negative_prompt=args.neg_prompt or "",
+                prompt, o, negative_prompt=args.neg_prompt or "",
                 decode=not args.latents_only)
         ctx = jnp.zeros((64, sampler.cfg.text_dim))
-        return sampler.generate(ctx, jnp.zeros_like(ctx), opts,
+        return sampler.generate(ctx, jnp.zeros_like(ctx), o,
                                 decode=not args.latents_only)
 
     if _maybe_run_batch(args, gen):

@@ -64,3 +64,24 @@ def test_wan_i2v_tiny(tmp_path):
               "--infer-steps", "2", "--latents-only", "--save-path", out])
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(out)
+
+
+def test_wan_t2v_tiny_vbench(tmp_path):
+    import json
+    info = tmp_path / "full_info.json"
+    info.write_text(json.dumps([
+        {"prompt_en": "a red cube", "dimension": ["subject_consistency"]},
+        {"prompt_en": "skip me", "dimension": ["other_dim"]},
+    ]))
+    out_dir = str(tmp_path / "vids")
+    r = _run(["wan-t2v", "--tiny", "--cpu", "--video-size", "96", "64",
+              "--video-length", "9", "--infer-steps", "2",
+              "--latents-only", "--prompt-file", str(info),
+              "--vbench", "--vbench-samples", "2",
+              "--vbench-dimension", "subject_consistency",
+              "--out-dir", out_dir])
+    assert r.returncode == 0, r.stderr[-2000:]
+    # protocol naming: {prompt}-{i}.npy, one per sample, filtered dimension
+    assert os.path.exists(os.path.join(out_dir, "a red cube-0.npy"))
+    assert os.path.exists(os.path.join(out_dir, "a red cube-1.npy"))
+    assert not os.path.exists(os.path.join(out_dir, "skip me-0.npy"))

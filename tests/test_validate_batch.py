@@ -122,3 +122,58 @@ class TestRunBatch:
         # new outputs carry the id_time_seed_prompt stamp (reference
         # naming); the id prefix keeps resume deterministic
         assert glob.glob(os.path.join(out_dir, "0003_*seed0*.npy"))
+
+
+class TestVBenchProtocol:
+    def _write_info(self, tmp_path):
+        p = tmp_path / "full_info.json"
+        p.write_text(json.dumps([
+            {"prompt_en": "a cat", "dimension": ["subject_consistency"]},
+            {"prompt_en": "a dog running",
+             "dimension": ["motion_smoothness", "subject_consistency"]},
+            {"prompt_en": "static scene", "dimension": ["background"]},
+        ]))
+        return str(p)
+
+    def test_load_vbench_info_and_dimension_filter(self, tmp_path):
+        from jenga_tpu.batch import load_vbench_info
+        path = self._write_info(tmp_path)
+        infos = load_vbench_info(path)
+        assert [i["prompt"] for i in infos] == [
+            "a cat", "a dog running", "static scene"]
+        assert infos[1]["dimensions"] == ["motion_smoothness",
+                                          "subject_consistency"]
+        only = load_vbench_info(path, dimension="subject_consistency")
+        assert [i["prompt"] for i in only] == ["a cat", "a dog running"]
+        shard = load_vbench_info(path, chunk_num=2, cur_id=1)
+        assert [i["prompt"] for i in shard] == ["a dog running"]
+
+    def test_vbench_naming_and_resume(self, tmp_path):
+        from jenga_tpu.batch import run_vbench_batch, vbench_filename
+        # the protocol's exact name: prompt text verbatim + "-{i}"
+        assert vbench_filename("a cat", 0) == "a cat-0.mp4"
+        assert vbench_filename("w/slash", 2, ".npy") == "w slash-2.npy"
+
+        out_dir = str(tmp_path / "vids")
+        os.makedirs(out_dir)
+        with open(os.path.join(out_dir, "a cat-0.npy"), "w") as f:
+            f.write("done")
+        seeds = []
+
+        def gen(prompt, seed):
+            seeds.append((prompt, seed))
+            return np.zeros(2)
+
+        def save(path, out):
+            np.save(path + ".tmp.npy", out)
+            os.replace(path + ".tmp.npy", path)
+
+        results = run_vbench_batch(
+            [{"prompt": "a cat", "dimensions": []}], gen, save, out_dir,
+            samples_per_prompt=3, suffix=".npy", log=lambda *_: None,
+            seed=7)
+        # sample 0 skipped (resume), 1 and 2 generated with seed 7+i
+        assert [r[2] for r in results] == ["skipped", "ok", "ok"]
+        assert seeds == [("a cat", 8), ("a cat", 9)]
+        assert os.path.exists(os.path.join(out_dir, "a cat-1.npy"))
+        assert os.path.exists(os.path.join(out_dir, "a cat-2.npy"))

@@ -84,10 +84,13 @@ def main():
         amp = 0.0 if td == 1.0 else -math.log2(math.sqrt(td))
         return grid, lat, amp
 
-    # unique (rate, stage0?) -> measured step costs. text_amp only applies
+    def note(msg):
+        print(f"[bench_prores] {msg}", file=sys.stderr, flush=True)
+
+    # unique (rate, stage0?) -> programs + inputs. text_amp only applies
     # at stage 0 (reset after the first switch, reference J10), so a
     # reduced-res NON-first stage (3stage's middle) compiles with amp 0.
-    def measure(rate, first_stage):
+    def build(rate, first_stage):
         grid, lat, amp = stage_geom(rate)
         if not first_stage:
             amp = 0.0
@@ -116,38 +119,55 @@ def main():
             return hy.hyvideo_head(params, cfg, img + residual, aux, carve)
 
         residual = jnp.zeros((1, s_pad, cfg.hidden_size), jnp.bfloat16)
-        nqb = plan.seq_len // 128
-        return {
-            "grid": grid, "nqb": nqb, "amp": amp,
-            "carved": lambda tk: timeit(
-                lambda p, xx: full_j(p, carve, xx, jnp.int32(tk)),
-                (params, x), 2),
-            "dense": lambda: timeit(
-                lambda p, xx: full_j(
-                    p, dataclasses.replace(carve, sa_drop_rate=0.0), xx,
-                    jnp.int32(0)),
-                (params, x), 2),
-            "skip": lambda: timeit(
-                lambda p, xx: skip_j(p, carve, xx, residual), (params, x),
-                2),
-        }
+        return dict(grid=grid, nqb=plan.seq_len // 128, amp=amp,
+                    carve=carve, x=x, residual=residual,
+                    full_j=full_j, skip_j=skip_j)
 
-    def note(msg):
-        print(f"[bench_prores] {msg}", file=sys.stderr, flush=True)
-
-    # measure each unique stage geometry once
+    # measure each unique stage geometry once; lower everything first and
+    # compile in parallel (the remote compile service parallelizes — four
+    # serial 100k-token compiles dominated wall time otherwise)
     geoms = {}      # (rate, first) -> dict with measured times filled in
     needed = set()
     for drops, rates, _ in PRESETS.values():
         for si, r in enumerate(rates):
             needed.add((r, si == 0 and r != 1.0))
+    from concurrent.futures import ThreadPoolExecutor
+    jobs = []       # (key, slot, lowered)
     for rate, first in sorted(needed):
-        note(f"compiling stage rate={rate} first={first}")
-        m = measure(rate, first)
+        m = build(rate, first)
+        geoms[(rate, first)] = m
+        note(f"lowering stage rate={rate} first={first} grid {m['grid']}")
+        jobs.append(((rate, first), "carved_c", m["full_j"].lower(
+            params, m["carve"], m["x"], jnp.int32(1))))
+        jobs.append(((rate, first), "skip_c", m["skip_j"].lower(
+            params, m["carve"], m["x"], m["residual"])))
+        if rate == 1.0 and not first:
+            jobs.append(((rate, first), "dense_c", m["full_j"].lower(
+                params,
+                dataclasses.replace(m["carve"], sa_drop_rate=0.0),
+                m["x"], jnp.int32(0))))
+    note(f"compiling {len(jobs)} programs in parallel")
+    with ThreadPoolExecutor(len(jobs)) as ex:
+        compiled = list(ex.map(lambda j: j[2].compile(), jobs))
+    for (gkey, slot, _), comp in zip(jobs, compiled):
+        geoms[gkey][slot] = comp
+
+    for gkey, m in geoms.items():
+        carve, x, residual = m["carve"], m["x"], m["residual"]
+        m["carved"] = lambda tk, m=m, carve=carve, x=x: timeit(
+            lambda p, xx: m["carved_c"](p, carve, xx, jnp.int32(tk)),
+            (params, x), 2)
+        m["skip"] = lambda m=m, carve=carve, x=x, residual=residual: timeit(
+            lambda p, xx: m["skip_c"](p, carve, xx, residual),
+            (params, x), 2)
+        if "dense_c" in m:
+            dcarve = dataclasses.replace(carve, sa_drop_rate=0.0)
+            m["dense"] = lambda m=m, dcarve=dcarve, x=x: timeit(
+                lambda p, xx: m["dense_c"](p, dcarve, xx, jnp.int32(0)),
+                (params, x), 2)
         m["t_skip"] = m["skip"]()
         note(f"  grid {m['grid']} skip {m['t_skip']:.3f}s")
         m["t_carved"] = {}
-        geoms[(rate, first)] = m
 
     # dense comparator: full-res only (the reference's denominator)
     mfull = geoms[(1.0, False)]

@@ -9,6 +9,11 @@ T2V at 832x480x81f (~32k tokens), 50 denoise steps (one call covers both
 CFG branches as a batch of 2). Reference numbers on 1xH800: dense 111
 s/clip, Jenga-Base 26 s/clip (4.26x).
 
+BENCH_TASK=14b switches to the Wan2.1-14B row (1280x720x81f, ~76k tokens,
+ref dense 1807 s / 438 s = 4.12x, `/root/reference/README.md:212-215`),
+measured at 4 of 40 trunk layers (the 28GB model exceeds one v5e's 16GB)
+and extrapolated exactly like bench.py; writes BENCH_WAN14B.json.
+
 Weights are random (no checkpoints in this image). Selection statistics
 are made production-like with the same protocol as the primary bench
 (see bench.py's module docstring for the full rationale): each block's
@@ -44,22 +49,45 @@ import jax.numpy as jnp
 import numpy as np
 
 QUICK = bool(int(os.environ.get("BENCH_QUICK", "0")))
-REF_JENGA_BASE_SPEEDUP = 4.26   # /root/reference/README.md:207-210
 STEPS = 50
 COMPUTE_FRAC = 0.5              # TeaCache Base: ~half the steps computed
 # Shared-gather width (same TPU-tuned production config as the HY
 # headline: joint 4-row group selection feeding the all-member kernel;
 # 1 = the reference-exact per-row selection)
 QROWS = int(os.environ.get("BENCH_QROWS", "4"))
+# BENCH_TASK=14b benches the Wan2.1-14B row (1280x720x81f, ~76k tokens,
+# ref dense 1807 s / Jenga-Base 438 s = 4.12x,
+# `/root/reference/README.md:212-215`). The 14B model (28GB bf16) does not
+# fit one 16GB v5e, so its trunk is measured at 4 of 40 layers and
+# extrapolated exactly like bench.py (clip = skip + 10x measured trunk
+# cost); the 1.3B default measures the FULL 30-layer model.
+TASK = os.environ.get("BENCH_TASK", "1.3b").lower()
 
 
 def main():
     from jenga_tpu.curves.blocks import build_curve_plan
     from jenga_tpu.models.wan import (
-        WAN_T2V_1_3B, init_wan_params, make_wan_carve, wan_embed, wan_head,
-        wan_trunk, wan_forward, wan_first_selection_mask)
+        WAN_T2V_1_3B, WAN_T2V_14B, init_wan_params, make_wan_carve,
+        wan_embed, wan_head, wan_trunk, wan_forward,
+        wan_first_selection_mask)
 
-    cfg = WAN_T2V_1_3B
+    if TASK == "14b":
+        full_layers = WAN_T2V_14B.num_layers                    # 40
+        cfg = dataclasses.replace(WAN_T2V_14B, num_layers=4)
+        ref_speedup = 4.12       # 1807/438, README.md:212-215
+        ref_dense_s = 1807.0
+        drops = (0.7, 0.8)       # scripts/wan_14B_jenga_base.sh
+        # 1280x720x81f -> latents (16, 21, 90, 160) -> grid (21, 45, 80)
+        lat_f, lat_h, lat_w = 21, 90, 160
+    else:
+        full_layers = WAN_T2V_1_3B.num_layers                   # 30
+        cfg = WAN_T2V_1_3B
+        ref_speedup = 4.26       # 111/26, README.md:207-210
+        ref_dense_s = 111.0
+        drops = (0.75, 0.85)     # scripts/wan_1.3B_jenga_base.sh
+        # 832x480x81f -> latents (16, 21, 60, 104) -> grid (21, 30, 52)
+        lat_f, lat_h, lat_w = 21, 60, 104
+    depth_scale = full_layers / cfg.num_layers
     if QUICK:
         cfg = dataclasses.replace(cfg, num_layers=4)
 
@@ -71,8 +99,6 @@ def main():
         kerr = kernel_numerics_check(QROWS)
         assert kerr < 5e-2, f"kernel numerics check failed: {kerr}"
 
-    # 832x480x81f -> latents (16, 21, 60, 104) -> token grid (21, 30, 52)
-    lat_f, lat_h, lat_w = 21, 60, 104
     grid = (lat_f, lat_h // 2, lat_w // 2)
 
     params = init_wan_params(jax.random.PRNGKey(0), cfg)
@@ -92,16 +118,16 @@ def main():
                              (2, cfg.text_len, cfg.text_dim), jnp.float32)
 
     plan = build_curve_plan(grid, "sliced", 128)
-    carve = make_wan_carve(cfg, plan, sa_drop_rate=0.75, p_remain=0.15,
+    carve = make_wan_carve(cfg, plan, sa_drop_rate=drops[0], p_remain=0.15,
                            q_rows=QROWS, joint_sel=QROWS > 1)
     dense_carve = dataclasses.replace(carve, sa_drop_rate=0.0)
     nb = -(-plan.seq_len // 128)
-    # the reference's two-stage schedule (scripts/wan_1.3B_jenga_base.sh
-    # sa_drop_rates 0.75 0.85, switch after step 25, jenga_wan.py:192-198);
+    # the reference's two-stage schedule (scripts/wan_*_jenga_base.sh
+    # sa_drop_rates, switch after step 25, jenga_wan.py:192-198);
     # top_k is a traced operand so both stages share ONE carved compile
     # (reference floor semantics int(nb * (1 - drop)))
-    tk75 = jnp.int32(int(nb * 0.25))
-    tk85 = jnp.int32(int(nb * 0.15))
+    tk75 = jnp.int32(int(nb * (1.0 - drops[0])))
+    tk85 = jnp.int32(int(nb * (1.0 - drops[1])))
 
     # params passed explicitly: closing over the 1.3B tree would capture
     # ~2.9GB of compile-time constants and blow up lowering.
@@ -174,14 +200,21 @@ def main():
     residual = jnp.zeros((2, s_tokens, cfg.dim), jnp.float32)
     t_skip = timeit(skip_path, iters, residual)
 
+    # depth extrapolation (exact for the 1.3B default: depth_scale == 1 and
+    # step_X == t_X; the 14B slice scales its 4-layer trunk cost x10 —
+    # linearity evidence in BENCH_FULL/BENCH_SCAN via bench.py)
+    step_c75 = t_skip + (t_c75 - t_skip) * depth_scale
+    step_c85 = t_skip + (t_c85 - t_skip) * depth_scale
+    step_dense = t_skip + (t_dense - t_skip) * depth_scale
+
     # TeaCache (thresh 0.15, use_ret_steps) computes ~half the steps;
     # the computed half is split across the two drop stages in proportion
     # to their step ranges (26 steps at 0.75, 24 at 0.85)
     n_comp = int(STEPS * COMPUTE_FRAC)
     n75 = round(n_comp * 26 / STEPS)
     n85 = n_comp - n75
-    carved_clip = n75 * t_c75 + n85 * t_c85 + (STEPS - n_comp) * t_skip
-    dense_clip = STEPS * t_dense
+    carved_clip = n75 * step_c75 + n85 * step_c85 + (STEPS - n_comp) * t_skip
+    dense_clip = STEPS * step_dense
     speedup = dense_clip / carved_clip
 
     # ---- ceiling analysis (VERDICT r2 weak-1): why Wan vs_baseline has a
@@ -195,39 +228,45 @@ def main():
     # scales exactly with the realized selection density and every other
     # cycle is free of carving overhead — unreachable, but a committed
     # bound the artifact can be judged against.
-    dm, ffn, nl, lt = cfg.dim, cfg.ffn_dim, cfg.num_layers, cfg.text_len
+    dm, ffn, lt = cfg.dim, cfg.ffn_dim, cfg.text_len
     lin_fl = s_tokens * dm * (12 * dm + 4 * ffn) + 4 * lt * dm * dm
     attn_fl = 4 * s_tokens * s_tokens * dm + 4 * s_tokens * lt * dm
     attn_share = attn_fl / (attn_fl + lin_fl)
-    flops_step = 2 * nl * (lin_fl + attn_fl)          # CFG batch of 2
-    dense_tflops = flops_step / max(t_dense, 1e-9) / 1e12
-    ref_dense_tflops = flops_step / (111.0 / STEPS) / 1e12  # H800 row
+    flops_step = 2 * full_layers * (lin_fl + attn_fl)  # CFG batch of 2
+    dense_tflops = flops_step / max(step_dense, 1e-9) / 1e12
+    ref_dense_tflops = flops_step / (ref_dense_s / STEPS) / 1e12  # H800 row
     ceiling_vs_baseline = -1.0
     if density > 0:
-        t_i75 = t_dense * (1 - attn_share + attn_share * density)
-        t_i85 = t_dense * (1 - attn_share + attn_share * density85)
+        t_i75 = step_dense * (1 - attn_share + attn_share * density)
+        t_i85 = step_dense * (1 - attn_share + attn_share * density85)
         ideal_clip = n75 * t_i75 + n85 * t_i85 + (STEPS - n_comp) * t_skip
-        ceiling_vs_baseline = (dense_clip / ideal_clip) \
-            / REF_JENGA_BASE_SPEEDUP
+        ceiling_vs_baseline = (dense_clip / ideal_clip) / ref_speedup
 
     sel_desc = (f"joint {QROWS}-row group selection" if QROWS > 1
                 else "per-row selection")
+    name = "14B" if TASK == "14b" else "1.3B"
+    size_desc = (f"{lat_w * 8}x{lat_h * 8}x81f"
+                 + ("" if depth_scale == 1 else
+                    f", trunk measured at {cfg.num_layers}/{full_layers} "
+                    "layers and extrapolated"))
     line = json.dumps({
-        "metric": "Wan2.1-1.3B DiT s/clip, Jenga-Base carving (drop "
-                  ".75/.85, {}) + TeaCache ({}+{} computed, {} skipped), "
-                  "832x480x81f, 50 steps (our dense {:.0f}s; per-call "
+        "metric": "Wan2.1-{} DiT s/clip, Jenga-Base carving (drop "
+                  "{}/{}, {}) + TeaCache ({}+{} computed, {} skipped), "
+                  "{}, 50 steps (our dense {:.0f}s; per-step "
                   "carved {:.2f}/{:.2f}s dense {:.2f}s skip {:.3f}s). "
                   "Ceiling context: self-attention is {:.0f}% of step "
-                  "FLOPs at 32k tokens and carving touches only it; our "
+                  "FLOPs at {}k tokens and carving touches only it; our "
                   "dense arm runs {:.0f} TFLOP/s ({:.0f}% of v5e bf16 "
                   "peak 197) vs the reference dense ~{:.0f} TFLOP/s "
                   "({:.0f}% of H800 989) — a relatively ~{:.1f}x stronger "
                   "denominator, so the attainable vs_baseline tops out at "
                   "~{:.2f} even with a zero-overhead kernel at the "
                   "realized density {:.2f}/{:.2f}"
-                  .format(sel_desc, n75, n85, STEPS - n_comp, dense_clip,
-                          t_c75, t_c85, t_dense, t_skip,
-                          100 * attn_share, dense_tflops,
+                  .format(name, drops[0], drops[1], sel_desc, n75, n85,
+                          STEPS - n_comp, size_desc, dense_clip,
+                          step_c75, step_c85, step_dense, t_skip,
+                          100 * attn_share, s_tokens // 1000,
+                          dense_tflops,
                           100 * dense_tflops / 197.0, ref_dense_tflops,
                           100 * ref_dense_tflops / 989.0,
                           (dense_tflops / 197.0)
@@ -242,16 +281,16 @@ def main():
         "attn_flop_share": round(attn_share, 4),
         "dense_tflops": round(dense_tflops, 1),
         "ceiling_vs_baseline": round(ceiling_vs_baseline, 3),
-        "vs_baseline": round((dense_clip / carved_clip)
-                             / REF_JENGA_BASE_SPEEDUP, 3),
+        "vs_baseline": round((dense_clip / carved_clip) / ref_speedup, 3),
     })
     print(line)
     # durable artifact next to the primary bench's BENCH_r*.json: the
     # driver only records bench.py's stdout, so the secondary number is
     # committed to the repo for the judge (VERDICT round-1 item 5)
     if jax.default_backend() != "cpu" and not QUICK:
+        fname = "BENCH_WAN14B.json" if TASK == "14b" else "BENCH_WAN.json"
         out = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH_WAN.json")
+            os.path.abspath(__file__))), fname)
         with open(out, "w") as f:
             f.write(line + "\n")
 
