@@ -46,14 +46,15 @@ schedule-controlled by the top-k floor + adjacency + text forcing) and
 ``q4_union_frac`` (mean union fraction of 4-row shared-gather groups —
 equals density when selection is perfectly local, 4x when random).
 The headline carved path runs the TPU-tuned production configuration:
-**joint group selection** (``q_rows=4`` query blocks pooled into ONE
+**joint group selection** (``q_rows=8`` query blocks pooled into ONE
 selection per group — planner ``sel_group``) feeding the shared-gather
 kernel's all-member fast path. Joint selection makes the group's union
 equal the per-row density by construction, so the KV gather runs once
-per 4 rows (bytes / 4) at unchanged attention FLOPs; the reference
+per 8 rows (bytes / 8) at unchanged attention FLOPs; the reference
 always selects per 128-token row, so this is a granularity change
-(512-token query pooling), reported in the metric string and
-fidelity-checked against per-row selection in tools/fidelity_run.py.
+(1024-token query pooling), reported in the metric string and
+fidelity-checked against per-row selection in tools/fidelity_run.py
+(q8 rel-to-dense 2.088% vs per-row 2.095% — no added deviation).
 
 Before timing, the block-sparse Pallas kernel is numerics-checked on the
 chip against the dense jnp reference (``kernel_max_err`` in the JSON).
@@ -222,10 +223,12 @@ def main():
     from jenga_tpu.models import hyvideo as hy
 
     # Shared-gather width of the headline carved path (1 = per-row kernel,
-    # the reference-exact selection). Default 4 with joint group selection:
-    # measured 567 -> ~425 ms/layer-kernel at Jenga-Base density
-    # (tools/grouped_kernel_bench.py).
-    q_rows = int(os.environ.get("BENCH_QROWS", "4"))
+    # the reference-exact selection). Default 8 with joint group selection:
+    # with the fixed-max epilogue the vectorized q_rows=8 kernel is the
+    # measured winner (327 vs 351 ms/layer at q4, tools/epilogue_probe.py),
+    # and FIDELITY.json shows q8 joint selection adds no deviation over
+    # per-row carving (rel 2.088% vs 2.095% at matched seeds).
+    q_rows = int(os.environ.get("BENCH_QROWS", "8"))
 
     kerr = -1.0
     if jax.default_backend() != "cpu":

@@ -179,6 +179,29 @@ def test_sparse_ulysses_joint_q4_matches_reference(mesh):
                                atol=2e-5, rtol=2e-5)
 
 
+def test_sparse_ulysses_joint_q8_matches_reference(mesh):
+    """Same as the q4 case at the round-3 production width: joint 8-row
+    group selection + all-member kernel (the fixed-max epilogue made
+    q_rows=8 the measured winner, 327 vs 351 ms/layer at HY-720p)."""
+    b, s, h, d = 1, 16 * 128, 8, 32
+    q, k, v = _qkv(jax.random.PRNGKey(5), b, s, h, d)
+    cos = np.ones((s, d // 2), np.float32)
+    sin = np.zeros((s, d // 2), np.float32)
+    out_sp = ulysses_self_attention(
+        q, k, v, jnp.asarray(cos), jnp.asarray(sin), mesh, sparse=True,
+        top_k=3, p_remain=0.5, q_rows=8, joint_sel=True)
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    mask = build_block_mask(qt, kt, top_k=3, p_remain=0.5,
+                            text_start_block=s // 128, text_blocks=0,
+                            block_neighbors=None, sel_group=8)
+    ref = block_sparse_attention_reference(qt, kt, vt, mask)
+    np.testing.assert_allclose(np.asarray(out_sp),
+                               np.asarray(ref.transpose(0, 2, 1, 3)),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_sparse_ulysses_q_rows_matches_per_row(mesh):
     """Shared-gather (q_rows=2) under Ulysses must match the per-row path
     on the 8-device mesh (each shard holds the full sequence for its

@@ -40,7 +40,7 @@ def main():
         HYI2V_STEP_CALC, fixed_compute_schedule)
     from jenga_tpu.models import hyvideo as hy
 
-    q_rows = int(os.environ.get("BENCH_QROWS", "4"))
+    q_rows = int(os.environ.get("BENCH_QROWS", "8"))
 
     kerr = -1.0
     if jax.default_backend() != "cpu":
@@ -100,17 +100,30 @@ def main():
     residual = jnp.zeros((1, -(-plan.seq_len // 128) * 128,
                           cfg.hidden_size), jnp.bfloat16)
 
+    # the three 113k-token programs compile concurrently (the remote
+    # compile service parallelizes) — same pattern as bench.py
+    note("lowering + compiling 3 programs in parallel")
+    from concurrent.futures import ThreadPoolExecutor
+    lowered = [
+        full_j.lower(params, carve, x, tk75),
+        full_j.lower(params, dense_carve, x, jnp.int32(0)),
+        skipped_j.lower(params, carve, x, residual),
+    ]
+    with ThreadPoolExecutor(3) as ex:
+        carved_c, dense_c, skip_c = list(ex.map(lambda lw: lw.compile(),
+                                                lowered))
+
     def carved75(p, xx):
-        return full_j(p, carve, xx, tk75)
+        return carved_c(p, carve, xx, tk75)
 
     def carved85(p, xx):
-        return full_j(p, carve, xx, tk85)
+        return carved_c(p, carve, xx, tk85)
 
     def dense_fn(p, xx):
-        return full_j(p, dense_carve, xx, jnp.int32(0))
+        return dense_c(p, dense_carve, xx, jnp.int32(0))
 
     def skipped_fn(p, xx):
-        return skipped_j(p, carve, xx, residual)
+        return skip_c(p, carve, xx, residual)
 
     note("timing carved drop=0.75")
     t_c75 = timeit(carved75, (params, x), iters)

@@ -54,7 +54,7 @@ def main():
         HYVIDEO_NON_SKIP_STEPS, fixed_compute_schedule)
     from jenga_tpu.models import hyvideo as hy
 
-    q_rows = int(os.environ.get("BENCH_QROWS", "4"))
+    q_rows = int(os.environ.get("BENCH_QROWS", "8"))
     dbl, sgl = 1, 2
     depth_scale = (20 + 40) / (dbl + sgl)
     cfg = dataclasses.replace(hy.HUNYUAN_VIDEO_T2V,

@@ -52,9 +52,9 @@ QUICK = bool(int(os.environ.get("BENCH_QUICK", "0")))
 STEPS = 50
 COMPUTE_FRAC = 0.5              # TeaCache Base: ~half the steps computed
 # Shared-gather width (same TPU-tuned production config as the HY
-# headline: joint 4-row group selection feeding the all-member kernel;
+# headline: joint 8-row group selection feeding the all-member kernel;
 # 1 = the reference-exact per-row selection)
-QROWS = int(os.environ.get("BENCH_QROWS", "4"))
+QROWS = int(os.environ.get("BENCH_QROWS", "8"))
 # BENCH_TASK=14b benches the Wan2.1-14B row (1280x720x81f, ~76k tokens,
 # ref dense 1807 s / Jenga-Base 438 s = 4.12x,
 # `/root/reference/README.md:212-215`). The 14B model (28GB bf16) does not

@@ -16,6 +16,20 @@ group order), timed at the HY joint-selection shape:
             timing floor for "what if masking were free")
   nomax   — oracle + constant running max (no m update, no alpha rescale;
             floor for the max/rescale bookkeeping)
+
+RESULT (v5e, HY-720p joint shape, ms/layer): base 434 / condqk 559 /
+fixedmax 377 / oracle 396 / nomax 349.  The max/rescale bookkeeping was
+the gap, not the zero-bias adds (condqk's VMEM-carried cond is a
+regression).  Landed as the ``fixed_max`` epilogue in
+``ops/block_sparse_attention.py`` (Cauchy-Schwarz logit bound per
+batch-head, no recurrence), which also un-blocked the vectorized
+q_rows=8 form: 327 ms/layer, now the production default (bench.py,
+BENCH_QROWS=8).  q_rows=16 is structurally off the table on v5e: the
+(q_rows*128, group*128) f32 logits+probs already force the KV group
+width down past q_rows=4 to fit scoped VMEM (see the group autotune in
+``block_sparse_attention_grouped``), and halving group again costs more
+than the extra amortization buys; it would also double the selection
+granularity past the fidelity-checked q8 (FIDELITY.json).
 """
 import functools
 import os
