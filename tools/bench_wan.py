@@ -224,10 +224,14 @@ def main():
     # a much larger fraction of v5e peak than the reference's dense run
     # does of H800 peak (i.e. OUR denominator is relatively stronger), so
     # matching the reference's 4.26x RATIO requires beating its kernel
-    # win, not matching it. The ceiling below assumes attention time
-    # scales exactly with the realized selection density and every other
-    # cycle is free of carving overhead — unreachable, but a committed
-    # bound the artifact can be judged against.
+    # win, not matching it. The model below assumes attention time scales
+    # exactly with the realized selection density, every other cycle is
+    # free of carving overhead, and attention's share of step TIME equals
+    # its share of FLOPs. That last assumption makes it conservative
+    # rather than a strict bound: attention at these sequence lengths runs
+    # below the FFN matmuls' MXU efficiency, so its time share exceeds its
+    # FLOP share and a measured number can legitimately land above the
+    # estimate (the 14B run does: 1.046 vs the 1.001 estimate).
     dm, ffn, lt = cfg.dim, cfg.ffn_dim, cfg.text_len
     lin_fl = s_tokens * dm * (12 * dm + 4 * ffn) + 4 * lt * dm * dm
     attn_fl = 4 * s_tokens * s_tokens * dm + 4 * s_tokens * lt * dm
@@ -259,9 +263,11 @@ def main():
                   "dense arm runs {:.0f} TFLOP/s ({:.0f}% of v5e bf16 "
                   "peak 197) vs the reference dense ~{:.0f} TFLOP/s "
                   "({:.0f}% of H800 989) — a relatively ~{:.1f}x stronger "
-                  "denominator, so the attainable vs_baseline tops out at "
-                  "~{:.2f} even with a zero-overhead kernel at the "
-                  "realized density {:.2f}/{:.2f}"
+                  "denominator. A zero-overhead kernel at the realized "
+                  "density {:.2f}/{:.2f} attains vs_baseline ~{:.2f} under "
+                  "a FLOP-share model of attention time; attention's TIME "
+                  "share exceeds its FLOP share on the MXU, so the model "
+                  "is conservative and a measured number can exceed it"
                   .format(name, drops[0], drops[1], sel_desc, n75, n85,
                           STEPS - n_comp, size_desc, dense_clip,
                           step_c75, step_c85, step_dense, t_skip,
@@ -271,7 +277,7 @@ def main():
                           100 * ref_dense_tflops / 989.0,
                           (dense_tflops / 197.0)
                           / max(ref_dense_tflops / 989.0, 1e-9),
-                          ceiling_vs_baseline, density, density85),
+                          density, density85, ceiling_vs_baseline),
         "value": round(carved_clip, 2),
         "unit": "s/clip",
         "kernel_max_err": round(kerr, 5),
