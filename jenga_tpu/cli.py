@@ -55,12 +55,13 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("--curve-type", type=str, default=None,
                    choices=["gilbert", "sliced", "transposed"],
                    help="space-filling curve for token reordering")
-    p.add_argument("--q-group", type=int, default=1,
+    p.add_argument("--q-group", type=int, default=None,
                    help="shared-gather attention: this many query blocks "
-                        "share one KV gather (recommended 4; with joint "
-                        "selection the gather bytes drop q_group x — "
-                        "measured 1.37x kernel speedup at Jenga-Base "
-                        "density)")
+                        "share one KV gather (presets default to 8 — the "
+                        "benchmarked production config; with joint "
+                        "selection the gather bytes drop q_group x, "
+                        "measured 567->327 ms/layer at Jenga-Base "
+                        "density. 1 = reference-exact per-row kernel)")
     p.add_argument("--no-joint-sel", action="store_true",
                    help="with --q-group > 1: keep the reference's exact "
                         "per-128-row block selection (union-list gather + "
@@ -258,10 +259,10 @@ def run_hyvideo_t2v(args):
         over["p_remain"] = args.p_remain_rates
     if args.curve_type:
         over["curve"] = args.curve_type
-    if args.q_group and args.q_group > 1:
+    if args.q_group is not None:
         over["q_group"] = args.q_group
-        if args.no_joint_sel:
-            over["joint_sel"] = False
+    if args.no_joint_sel:
+        over["joint_sel"] = False
     over["seed"] = args.seed
     over["embedded_guidance_scale"] = args.embedded_cfg_scale
     opts = get_hy_preset(args.preset, **over)
@@ -343,10 +344,10 @@ def run_hyvideo_i2v(args):
         over["sa_drop_rates"] = tuple(args.sa_drop_rates)
     if args.p_remain_rates is not None:
         over["p_remain"] = args.p_remain_rates
-    if args.q_group and args.q_group > 1:
+    if args.q_group is not None:
         over["q_group"] = args.q_group
-        if args.no_joint_sel:
-            over["joint_sel"] = False
+    if args.no_joint_sel:
+        over["joint_sel"] = False
     import dataclasses as _dc
     base = get_hy_preset(args.preset)
     i2v_fields = {f.name for f in _dc.fields(HYI2VOptions)}
@@ -435,10 +436,10 @@ def run_wan_t2v(args):
         over["curve"] = args.curve_type
     if args.sample_shift is not None:
         over["shift"] = args.sample_shift
-    if args.q_group and args.q_group > 1:
+    if args.q_group is not None:
         over["q_group"] = args.q_group
-        if args.no_joint_sel:
-            over["joint_sel"] = False
+    if args.no_joint_sel:
+        over["joint_sel"] = False
     if args.enable_turbo:
         over["enable_turbo"] = True
     if args.teacache_thresh is not None:
@@ -496,11 +497,13 @@ def run_wan_i2v(args):
     import jax.numpy as jnp
     from .pipelines.wan_i2v import WanI2VOptions, i2v_latent_size
 
-    over = {"seed": args.seed, "max_area": args.max_area}
-    if args.q_group and args.q_group > 1:
+    # wan-i2v has no named preset; default to the same q_group=8
+    # production config the presets carry (configs/presets.py docstring)
+    over = {"seed": args.seed, "max_area": args.max_area, "q_group": 8}
+    if args.q_group is not None:
         over["q_group"] = args.q_group
-        if args.no_joint_sel:
-            over["joint_sel"] = False
+    if args.no_joint_sel:
+        over["joint_sel"] = False
     if args.max_area <= 832 * 480:
         # reference drops the flow shift to 3.0 for 480p-class sizes
         # (`/root/reference/jenga_wan.py:677-679`)

@@ -21,6 +21,17 @@ Stage shapes/text-amp follow jenga_tpu/pipelines/hyvideo_t2v.py
 mirrors `/root/reference/hyvideo/diffusion/pipelines/
 pipeline_hunyuan_video_prores.py:417-424,569-599`.
 
+Memory protocol: holding all four stage geometries' executables resident
+while timing the full-res dense arm exhausts the 16GB chip, so each
+unique geometry is measured in its own subprocess (BENCH_PRORES_GEOM
+child mode) with a clean HBM — the persistent compile cache makes the
+children warm. The full-res dense arm additionally gets its OWN child
+(BENCH_PRORES_ARM=dense): even with one geometry resident, the carved
+q_rows=8 executable + the dense executable together sit close enough to
+the 16GB ceiling that the carved run RESOURCE_EXHAUSTs after the dense
+one executes. The parent composes the per-stage times into the preset
+clip times.
+
 Prints one JSON line per preset and writes BENCH_PRORES.json.
 """
 
@@ -28,15 +39,10 @@ import dataclasses
 import json
 import math
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import jax
-import jax.numpy as jnp
-
-import bench  # noqa: E402  (configures the persistent compile cache)
-from bench import synth_latents, tie_qk_projections, timeit  # noqa: E402
 
 STEPS = 50
 REF = {"turbo": 7.22, "flash": 8.82, "3stage": 10.35}
@@ -47,16 +53,39 @@ PRESETS = {
     "3stage": ((0.75, 0.85, 0.85), (0.5, 0.75, 1.0), (0.3, 0.5, 1.0)),
 }
 
+# 720p x 125f (pixels 1280x720, latent t=32) exactly as
+# pipelines/hyvideo_t2v._stage_shapes
+W_PX, H_PX, LT = 1280, 720, 32
 
-def main():
+
+def stage_geom(rate):
+    token_full = (H_PX // 16) * (W_PX // 16)
+    ph, pw = int(H_PX * rate), int(W_PX * rate)
+    grid = (LT, ph // 16, pw // 16)
+    lat = (LT, ph // 16 * 2, pw // 16 * 2)
+    td = (grid[1] * grid[2]) / token_full
+    amp = 0.0 if td == 1.0 else -math.log2(math.sqrt(td))
+    return grid, lat, amp
+
+
+def note(msg):
+    print(f"[bench_prores] {msg}", file=sys.stderr, flush=True)
+
+
+def child_main(rate, first_stage, drops, arm="main"):
+    """Measure one stage geometry on a clean chip; print one JSON line.
+    arm="main": t_skip + t_carved per drop. arm="dense": t_dense only
+    (full-res geometry; separate child — see module docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    import bench  # noqa: F401  (configures the persistent compile cache)
+    from bench import synth_latents, tie_qk_projections, timeit
     from jenga_tpu.curves.blocks import build_curve_plan
-    from jenga_tpu.diffusion.skip import (
-        HYVIDEO_NON_SKIP_STEPS, fixed_compute_schedule)
     from jenga_tpu.models import hyvideo as hy
 
     q_rows = int(os.environ.get("BENCH_QROWS", "8"))
     dbl, sgl = 1, 2
-    depth_scale = (20 + 40) / (dbl + sgl)
     cfg = dataclasses.replace(hy.HUNYUAN_VIDEO_T2V,
                               double_blocks=dbl, single_blocks=sgl)
     params = tie_qk_projections(
@@ -70,114 +99,106 @@ def main():
     t = jnp.full((1,), 600.0, jnp.float32)
     guidance = jnp.full((1,), 6000.0, jnp.float32)
 
-    # stage geometry: 720p x 125f (pixels 1280x720, latent t=32) exactly as
-    # pipelines/hyvideo_t2v._stage_shapes
-    w_px, h_px, lt = 1280, 720, 32
-    full_grid = (lt, h_px // 16, w_px // 16)               # (32, 45, 80)
-    token_full = full_grid[1] * full_grid[2]
+    grid, lat, amp = stage_geom(rate)
+    if not first_stage:
+        # text_amp only applies at stage 0 (reset after the first switch,
+        # reference J10), so a reduced-res NON-first stage (3stage's
+        # middle) compiles with amp 0.
+        amp = 0.0
+    plan = build_curve_plan(grid, "gilbert", 128)
+    carve = hy.make_hy_carve(cfg, plan, sa_drop_rate=0.75,
+                             p_remain=0.05, text_amp=amp,
+                             txt_block_num=2, q_rows=q_rows,
+                             joint_sel=q_rows > 1)
+    x = synth_latents(jax.random.fold_in(key, hash(rate) % 97),
+                      (1, cfg.in_channels) + lat)
 
-    def stage_geom(rate):
-        ph, pw = int(h_px * rate), int(w_px * rate)
-        grid = (lt, ph // 16, pw // 16)
-        lat = (lt, ph // 16 * 2, pw // 16 * 2)
-        td = (grid[1] * grid[2]) / token_full
-        amp = 0.0 if td == 1.0 else -math.log2(math.sqrt(td))
-        return grid, lat, amp
+    @jax.jit
+    def full_j(params, carve, x, top_k):
+        img, txth, aux = hy.hyvideo_embed(params, cfg, x, t, txt, mask,
+                                          txt2, carve, guidance)
+        img2 = hy.hyvideo_trunk(params, cfg, img, txth, aux, carve,
+                                top_k=top_k)
+        return hy.hyvideo_head(params, cfg, img2, aux, carve), img2 - img
 
-    def note(msg):
-        print(f"[bench_prores] {msg}", file=sys.stderr, flush=True)
+    s_pad = -(-plan.seq_len // 128) * 128
 
-    # unique (rate, stage0?) -> programs + inputs. text_amp only applies
-    # at stage 0 (reset after the first switch, reference J10), so a
-    # reduced-res NON-first stage (3stage's middle) compiles with amp 0.
-    def build(rate, first_stage):
-        grid, lat, amp = stage_geom(rate)
-        if not first_stage:
-            amp = 0.0
-        plan = build_curve_plan(grid, "gilbert", 128)
-        carve = hy.make_hy_carve(cfg, plan, sa_drop_rate=0.75,
-                                 p_remain=0.05, text_amp=amp,
-                                 txt_block_num=2, q_rows=q_rows,
-                                 joint_sel=q_rows > 1)
-        x = synth_latents(jax.random.fold_in(key, hash(rate) % 97),
-                          (1, cfg.in_channels) + lat)
+    @jax.jit
+    def skip_j(params, carve, x, residual):
+        img, txth, aux = hy.hyvideo_embed(params, cfg, x, t, txt, mask,
+                                          txt2, carve, guidance)
+        return hy.hyvideo_head(params, cfg, img + residual, aux, carve)
 
-        @jax.jit
-        def full_j(params, carve, x, top_k):
-            img, txth, aux = hy.hyvideo_embed(params, cfg, x, t, txt, mask,
-                                              txt2, carve, guidance)
-            img2 = hy.hyvideo_trunk(params, cfg, img, txth, aux, carve,
-                                    top_k=top_k)
-            return hy.hyvideo_head(params, cfg, img2, aux, carve), img2 - img
+    # lower against an abstract residual: a concrete zeros() here would
+    # hold a 0.7GB device buffer through the carved timings below
+    res_spec = jax.ShapeDtypeStruct((1, s_pad, cfg.hidden_size),
+                                    jnp.bfloat16)
 
-        s_pad = -(-plan.seq_len // 128) * 128
-
-        @jax.jit
-        def skip_j(params, carve, x, residual):
-            img, txth, aux = hy.hyvideo_embed(params, cfg, x, t, txt, mask,
-                                              txt2, carve, guidance)
-            return hy.hyvideo_head(params, cfg, img + residual, aux, carve)
-
-        residual = jnp.zeros((1, s_pad, cfg.hidden_size), jnp.bfloat16)
-        return dict(grid=grid, nqb=plan.seq_len // 128, amp=amp,
-                    carve=carve, x=x, residual=residual,
-                    full_j=full_j, skip_j=skip_j)
-
-    # measure each unique stage geometry once; lower everything first and
-    # compile in parallel (the remote compile service parallelizes — four
-    # serial 100k-token compiles dominated wall time otherwise)
-    geoms = {}      # (rate, first) -> dict with measured times filled in
-    needed = set()
-    for drops, rates, _ in PRESETS.values():
-        for si, r in enumerate(rates):
-            needed.add((r, si == 0 and r != 1.0))
     from concurrent.futures import ThreadPoolExecutor
-    jobs = []       # (key, slot, lowered)
-    for rate, first in sorted(needed):
-        m = build(rate, first)
-        geoms[(rate, first)] = m
-        note(f"lowering stage rate={rate} first={first} grid {m['grid']}")
-        jobs.append(((rate, first), "carved_c", m["full_j"].lower(
-            params, m["carve"], m["x"], jnp.int32(1))))
-        jobs.append(((rate, first), "skip_c", m["skip_j"].lower(
-            params, m["carve"], m["x"], m["residual"])))
-        if rate == 1.0 and not first:
-            jobs.append(((rate, first), "dense_c", m["full_j"].lower(
-                params,
-                dataclasses.replace(m["carve"], sa_drop_rate=0.0),
-                m["x"], jnp.int32(0))))
-    note(f"compiling {len(jobs)} programs in parallel")
+    dcarve = dataclasses.replace(carve, sa_drop_rate=0.0)
+    if arm == "dense":
+        jobs = [("dense_c", full_j.lower(params, dcarve, x, jnp.int32(0)))]
+    else:
+        jobs = [("carved_c", full_j.lower(params, carve, x, jnp.int32(1))),
+                ("skip_c", skip_j.lower(params, carve, x, res_spec))]
+    note(f"child rate={rate} first={first_stage} arm={arm} grid {grid}: "
+         f"compiling {len(jobs)} programs in parallel")
     with ThreadPoolExecutor(len(jobs)) as ex:
-        compiled = list(ex.map(lambda j: j[2].compile(), jobs))
-    for (gkey, slot, _), comp in zip(jobs, compiled):
-        geoms[gkey][slot] = comp
+        progs = dict(zip([j[0] for j in jobs],
+                         ex.map(lambda j: j[1].compile(), jobs)))
 
-    for gkey, m in geoms.items():
-        carve, x, residual = m["carve"], m["x"], m["residual"]
-        m["carved"] = lambda tk, m=m, carve=carve, x=x: timeit(
-            lambda p, xx: m["carved_c"](p, carve, xx, jnp.int32(tk)),
+    out = {"rate": rate, "first": first_stage, "nqb": plan.seq_len // 128,
+           "amp": round(amp, 4)}
+    if arm == "dense":
+        out["t_dense"] = timeit(
+            lambda p, xx: progs["dense_c"](p, dcarve, xx, jnp.int32(0)),
             (params, x), 2)
-        m["skip"] = lambda m=m, carve=carve, x=x, residual=residual: timeit(
-            lambda p, xx: m["skip_c"](p, carve, xx, residual),
+        note(f"  dense {out['t_dense']:.2f}s")
+        print(json.dumps(out), flush=True)
+        return
+    # carved FIRST, skip last (bench.py's order): at the full-res
+    # geometry the carved q_rows=8 executable needs nearly all free HBM
+    # for its temps — timing it after the skip path has allocated the
+    # residual buffer and its own temps RESOURCE_EXHAUSTs, while
+    # carved-then-skip fits (the skip path is tiny).
+    out["t_carved"] = {}
+    for drop in sorted(set(drops)):
+        tk = int((1 - drop) * out["nqb"])
+        if str(tk) in out["t_carved"]:
+            continue
+        out["t_carved"][str(tk)] = timeit(
+            lambda p, xx, tk=tk: progs["carved_c"](p, carve, xx,
+                                                   jnp.int32(tk)),
             (params, x), 2)
-        if "dense_c" in m:
-            dcarve = dataclasses.replace(carve, sa_drop_rate=0.0)
-            m["dense"] = lambda m=m, dcarve=dcarve, x=x: timeit(
-                lambda p, xx: m["dense_c"](p, dcarve, xx, jnp.int32(0)),
-                (params, x), 2)
-        m["t_skip"] = m["skip"]()
-        note(f"  grid {m['grid']} skip {m['t_skip']:.3f}s")
-        m["t_carved"] = {}
+        note(f"  drop={drop} top_k={tk} carved {out['t_carved'][str(tk)]:.2f}s")
+    residual = jnp.zeros((1, s_pad, cfg.hidden_size), jnp.bfloat16)
+    out["t_skip"] = timeit(
+        lambda p, xx: progs["skip_c"](p, carve, xx, residual), (params, x), 2)
+    note(f"  skip {out['t_skip']:.3f}s")
+    print(json.dumps(out), flush=True)
 
-    # dense comparator: full-res only (the reference's denominator)
+
+def compose_presets(geoms, depth_scale, q_rows, meas_layers):
+    """Compose per-geometry stage measurements into per-preset clip times.
+
+    Pure function of the child measurements (unit-tested on CPU in
+    tests/test_bench_compose.py). ``geoms`` maps ``(res_rate, is_reduced
+    _first_stage)`` to the child JSON dict (``nqb``, ``t_skip``,
+    ``t_carved[str(top_k)]``, and ``t_dense`` on the full-res entry).
+    Stage arithmetic follows the reference: the fixed skip schedule
+    restarts at each stage switch and the switch happens AFTER the
+    forward at the split step, so the split step itself still runs at
+    the old stage (reference pipeline_hunyuan_video_prores.py:697-773)."""
+    from jenga_tpu.diffusion.skip import (
+        HYVIDEO_NON_SKIP_STEPS, fixed_compute_schedule)
+
     mfull = geoms[(1.0, False)]
-    t_dense = mfull["dense"]()
+    t_dense = mfull["t_dense"]
     step_dense = mfull["t_skip"] + (t_dense - mfull["t_skip"]) * depth_scale
     dense_clip = STEPS * step_dense
     note(f"dense {t_dense:.2f}s/slice -> {dense_clip:.0f}s/clip")
 
-    results = {}
-    lines = []
+    results = []
     for name, (drops, rates, step_rates) in PRESETS.items():
         splits = [int(r * STEPS) for r in step_rates[:-1]]
         compute = fixed_compute_schedule(
@@ -189,19 +210,12 @@ def main():
         for si, (drop, rate) in enumerate(zip(drops, rates)):
             lo = 0 if si == 0 else bounds[si - 1] + 1
             hi = bounds[si]
-            # the switch happens AFTER the forward at the split step, so
-            # the split step itself still runs at the old stage (bench.py
-            # convention, reference prores:697-773)
             if si < len(drops) - 1:
                 hi = bounds[si] + 1
             lo_clamp, hi_clamp = max(0, lo), min(STEPS, hi)
             geom = geoms[(rate, si == 0 and rate != 1.0)]
             tk = int((1 - drop) * geom["nqb"])
-            if tk not in geom["t_carved"]:
-                geom["t_carved"][tk] = geom["carved"](tk)
-                note(f"  {name} stage{si} rate={rate} drop={drop} "
-                     f"carved {geom['t_carved'][tk]:.2f}s")
-            t_c = geom["t_carved"][tk]
+            t_c = geom["t_carved"][str(tk)]
             step_c = geom["t_skip"] + (t_c - geom["t_skip"]) * depth_scale
             n_c = int(compute[lo_clamp:hi_clamp].sum())
             n_s = (hi_clamp - lo_clamp) - n_c
@@ -209,11 +223,11 @@ def main():
             stage_desc.append(
                 f"s{si}:r{rate}/d{drop} {n_c}c+{n_s}s @{step_c:.2f}s")
         speedup = dense_clip / carved_clip
-        rec = {
+        results.append({
             "metric": "HunyuanVideo T2V 720px125f 50-step DiT s/clip, "
                       f"Jenga-{name} (ProRes stages {'; '.join(stage_desc)}"
                       f", joint {q_rows}-row group selection, measured at "
-                      f"{dbl + sgl}/60 trunk depth and extrapolated; our "
+                      f"{meas_layers}/60 trunk depth and extrapolated; our "
                       f"dense {dense_clip:.0f}s; speedup {speedup:.2f}x, "
                       f"ref {REF[name]:.2f}x on H800)",
             "value": round(carved_clip, 2),
@@ -221,11 +235,62 @@ def main():
             "preset": name,
             "speedup": round(speedup, 2),
             "vs_baseline": round(speedup / REF[name], 3),
-        }
-        results[name] = rec
-        lines.append(json.dumps(rec))
-        print(lines[-1], flush=True)
+        })
+    return results
 
+
+def main():
+    if os.environ.get("BENCH_PRORES_GEOM"):
+        rate_s, first_s = os.environ["BENCH_PRORES_GEOM"].split(",")
+        drops = [float(d) for d in
+                 os.environ["BENCH_PRORES_DROPS"].split(",") if d]
+        child_main(float(rate_s), first_s == "1", drops,
+                   arm=os.environ.get("BENCH_PRORES_ARM", "main"))
+        return
+    from jenga_tpu.diffusion.skip import (
+        HYVIDEO_NON_SKIP_STEPS, fixed_compute_schedule)
+
+    q_rows = int(os.environ.get("BENCH_QROWS", "8"))
+    dbl, sgl = 1, 2
+    depth_scale = (20 + 40) / (dbl + sgl)
+
+    # unique (rate, stage0?) -> drops needed at that geometry. text_amp
+    # only applies at stage 0, so a reduced-res NON-first stage (3stage's
+    # middle) is a distinct geometry from the same rate at stage 0.
+    needed = {}
+    for drops, rates, _ in PRESETS.values():
+        for si, (d, r) in enumerate(zip(drops, rates)):
+            needed.setdefault((r, si == 0 and r != 1.0), set()).add(d)
+
+    # one clean-HBM subprocess per geometry (see module docstring); the
+    # full-res dense comparator gets its own extra child
+    def run_child(rate, first, drops, arm):
+        env = dict(os.environ,
+                   BENCH_PRORES_GEOM=f"{rate},{int(first)}",
+                   BENCH_PRORES_DROPS=",".join(
+                       str(d) for d in sorted(drops)),
+                   BENCH_PRORES_ARM=arm)
+        note(f"spawning child rate={rate} first={first} arm={arm} "
+             f"drops={sorted(drops)}")
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, stdout=subprocess.PIPE, text=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"child ({rate},{first},{arm}) rc={proc.returncode}")
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    geoms = {}
+    for (rate, first), drops in sorted(needed.items()):
+        geoms[(rate, first)] = run_child(rate, first, drops, "main")
+    geoms[(1.0, False)]["t_dense"] = run_child(
+        1.0, False, [], "dense")["t_dense"]
+
+    lines = [json.dumps(rec) for rec in
+             compose_presets(geoms, depth_scale, q_rows, dbl + sgl)]
+    for ln in lines:
+        print(ln, flush=True)
+
+    import jax  # deferred: the parent stays off-device while children run
     if jax.default_backend() != "cpu":
         out = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "BENCH_PRORES.json")
