@@ -1,13 +1,15 @@
-"""Unit tests for the ProRes bench composition (tools/bench_prores.py).
+"""Unit tests for the multi-stage bench compositions (tools/bench_prores.py
+and tools/bench_wan.py's Turbo preset).
 
 The on-chip children only produce per-geometry stage timings; turning
 those into per-preset clip times is pure arithmetic (stage step ranges,
 the switch-after-forward convention, the fixed skip schedule restarting
 per stage, depth extrapolation). That arithmetic carries the three
-HY-preset BASELINE rows, so it is pinned here on CPU with synthetic
-timings (reference conventions:
+HY-preset BASELINE rows and both Wan Turbo rows, so it is pinned here on
+CPU with synthetic timings (reference conventions:
 `/root/reference/hyvideo/diffusion/pipelines/
-pipeline_hunyuan_video_prores.py:697-773`).
+pipeline_hunyuan_video_prores.py:697-773`,
+`/root/reference/jenga_wan.py:190-245`).
 """
 
 import os
@@ -19,6 +21,7 @@ sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
 import bench_prores  # noqa: E402
+import bench_wan  # noqa: E402
 
 from jenga_tpu.diffusion.skip import (  # noqa: E402
     HYVIDEO_NON_SKIP_STEPS, fixed_compute_schedule)
@@ -87,6 +90,64 @@ def test_compose_turbo_matches_hand_rollout():
         else:
             total += geom["t_skip"]
     assert results["turbo"]["value"] == pytest.approx(total, rel=1e-6)
+
+
+def _wan_stage(t_carved, t_skip, s_tokens, density, t_dense=None):
+    m = {"t_carved": t_carved, "t_skip": t_skip, "s_tokens": s_tokens,
+         "density": density}
+    if t_dense is not None:
+        m["t_dense"] = t_dense
+    return m
+
+
+def test_wan_turbo_compose_matches_hand_rollout():
+    """Stage split: switch after the forward at step 25 -> 26 steps at
+    stage 0, 24 at stage 1; TeaCache computes 25 of 50, pro-rated 13/12."""
+    m0 = _wan_stage(1.0, 0.05, 18432, 0.30)
+    m1 = _wan_stage(1.9, 0.05, 32768, 0.21, t_dense=4.2)
+    c = bench_wan.compose_turbo(m0, m1, depth_scale=1.0, dim=1536,
+                                ffn_dim=8960, text_len=512,
+                                ref_speedup=6.16)
+    assert (c["k0"], c["k1"]) == (26, 24)
+    assert (c["n0"], c["n1"]) == (13, 12)
+    total = (13 * 1.0 + (26 - 13) * 0.05
+             + 12 * 1.9 + (24 - 12) * 0.05)
+    assert c["carved_clip"] == pytest.approx(total)
+    assert c["dense_clip"] == pytest.approx(50 * 4.2)
+    assert c["speedup"] == pytest.approx(c["dense_clip"] / total)
+    assert c["vs_baseline"] == pytest.approx(c["speedup"] / 6.16)
+
+
+def test_wan_turbo_depth_extrapolation_scales_trunk_only():
+    """depth_scale multiplies only the trunk delta above the skip path
+    (embed+head), same rule as the Base bench and bench.py."""
+    m0 = _wan_stage(1.0, 0.05, 18432, 0.30)
+    m1 = _wan_stage(1.9, 0.05, 32768, 0.21, t_dense=4.2)
+    kw = dict(dim=5120, ffn_dim=13824, text_len=512, ref_speedup=6.12)
+    c1 = bench_wan.compose_turbo(m0, m1, depth_scale=1.0, **kw)
+    c10 = bench_wan.compose_turbo(m0, m1, depth_scale=10.0, **kw)
+    assert c10["step_c0"] == pytest.approx(0.05 + (1.0 - 0.05) * 10)
+    assert c10["step_dense"] == pytest.approx(0.05 + (4.2 - 0.05) * 10)
+    # skip-path cost is NOT scaled: skipped steps cost the same per clip
+    skip_part = (26 - c1["n0"]) * 0.05 + (24 - c1["n1"]) * 0.05
+    assert (c10["carved_clip"] - c10["n0"] * c10["step_c0"]
+            - c10["n1"] * c10["step_c1"]) == pytest.approx(skip_part)
+
+
+def test_wan_turbo_ceiling_monotone_in_density():
+    """A sparser realized selection raises the attainable ceiling; a
+    missing density (CPU run) disables it."""
+    m1 = _wan_stage(1.9, 0.05, 32768, 0.21, t_dense=4.2)
+    kw = dict(depth_scale=1.0, dim=1536, ffn_dim=8960, text_len=512,
+              ref_speedup=6.16)
+    sparse = bench_wan.compose_turbo(
+        _wan_stage(1.0, 0.05, 18432, 0.15), m1, **kw)
+    dense = bench_wan.compose_turbo(
+        _wan_stage(1.0, 0.05, 18432, 0.60), m1, **kw)
+    assert sparse["ceiling_vs_baseline"] > dense["ceiling_vs_baseline"] > 0
+    off = bench_wan.compose_turbo(
+        _wan_stage(1.0, 0.05, 18432, -1.0), m1, **kw)
+    assert off["ceiling_vs_baseline"] == -1.0
 
 
 def test_compose_dense_comparator_is_full_res_only():

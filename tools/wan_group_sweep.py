@@ -1,6 +1,12 @@
 """KV-group width / q_rows sweep for the joint kernel at the Wan bench
 shape (b=2, h=12, 256 blocks) and both stage densities — checks whether
-the HY-tuned defaults (q_rows=4, group=8) hold at the smaller shape."""
+the HY-tuned defaults (q_rows=4, group=8) hold at the smaller shape.
+
+SWEEP_GRID / SWEEP_DROPS / SWEEP_QROWS override the geometry, e.g. the
+Wan-1.3B Turbo stage-0 shape (18k tokens, 141 blocks, drop 0.75):
+  SWEEP_GRID=21,22,39 SWEEP_DROPS=0.75 python tools/wan_group_sweep.py
+and the 14B Turbo stage-0 shape (41.6k tokens, 325 blocks, drop 0.5):
+  SWEEP_GRID=21,33,60 SWEEP_DROPS=0.5 python tools/wan_group_sweep.py"""
 import os
 import sys
 import time
@@ -20,7 +26,13 @@ from jenga_tpu.sparse.planner import (build_block_mask, mask_to_block_lists,
                                       pack_block_lists)
 
 b, h, d = 2, 12, 128
-plan = build_curve_plan((21, 30, 52), "sliced", 128)
+_grid = tuple(int(x) for x in
+              os.environ.get("SWEEP_GRID", "21,30,52").split(","))
+_drops = tuple(float(x) for x in
+               os.environ.get("SWEEP_DROPS", "0.75,0.85").split(","))
+_qrows = tuple(int(x) for x in
+               os.environ.get("SWEEP_QROWS", "4,8").split(","))
+plan = build_curve_plan(_grid, "sliced", 128)
 s = -(-plan.seq_len // 128) * 128
 nb = s // 128
 key = jax.random.PRNGKey(0)
@@ -43,9 +55,10 @@ def timeit(fn, *a, iters=4):
     return best * 1e3 / N
 
 
-for drop in (0.75, 0.85):
+print(f"grid {_grid} -> {plan.seq_len} tokens, {nb} blocks", flush=True)
+for drop in _drops:
     tk = int(nb * (1.0 - drop))
-    for qr in (4, 8):
+    for qr in _qrows:
         m = build_block_mask(q, k, top_k=tk, p_remain=0.15,
                              text_start_block=nb, text_blocks=0,
                              block_neighbors=neighbors, sel_group=qr)
