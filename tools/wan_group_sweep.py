@@ -62,7 +62,12 @@ for drop in _drops:
         m = build_block_mask(q, k, top_k=tk, p_remain=0.15,
                              text_start_block=nb, text_blocks=0,
                              block_neighbors=neighbors, sel_group=qr)
-        u = jnp.any(m.reshape(b, h, nb // qr, qr, nb), axis=3)
+        # ceil-pad the query rows to a q_rows multiple exactly as the
+        # production path (ops.grouped_attention_from_mask) does
+        nb_pad = -(-nb // qr) * qr
+        mp = jnp.pad(m, ((0, 0), (0, 0), (0, nb_pad - nb), (0, 0)))
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, (nb_pad - nb) * 128), (0, 0)))
+        u = jnp.any(mp.reshape(b, h, nb_pad // qr, qr, nb), axis=3)
         gl = jax.block_until_ready(
             pack_block_lists(*mask_to_block_lists(u), seqlens=seqlen))
         dens = float(gl[..., 0].astype(jnp.float32).mean()) / nb
@@ -70,17 +75,17 @@ for drop in _drops:
         for grp in (4, 6, 8, 12, 16):
             try:
                 @jax.jit
-                def f(q, gl, qr=qr, grp=grp):
+                def f(qp, gl, qr=qr, grp=grp):
                     def body(i, c):
                         scale = (1.0 + 0.05 * i.astype(jnp.float32)) \
-                            .astype(q.dtype)
+                            .astype(qp.dtype)
                         out = block_sparse_attention_grouped(
-                            q * scale, k, v, gl, q_rows=qr, group=grp,
+                            qp * scale, k, v, gl, q_rows=qr, group=grp,
                             text_start_block=nb, all_member=True)
                         return c + jnp.sum(
                             out[..., ::13].astype(jnp.float32))
                     return jax.lax.fori_loop(0, N, body, 0.0)
-                tg = timeit(f, q, gl)
+                tg = timeit(f, qp, gl)
                 line += f"  g{grp}: {tg:6.2f} ms"
             except Exception as e:
                 line += f"  g{grp}: FAIL({type(e).__name__})"
