@@ -21,6 +21,17 @@ import json
 import time
 
 
+def _q_group_arg(s: str) -> int:
+    """--q-group validator: the grouped kernel's membership words hold at
+    most 8 query rows (sparse/planner.py pack_block_lists_grouped), and 0
+    or negative values would reach the group math as q_rows=0."""
+    v = int(s)
+    if not 1 <= v <= 8:
+        raise argparse.ArgumentTypeError(
+            f"--q-group must be in [1, 8], got {v}")
+    return v
+
+
 def _common(p: argparse.ArgumentParser):
     p.add_argument("--prompt", type=str, default="A cat walks on the grass")
     p.add_argument("--prompt-file", type=str, default=None,
@@ -55,7 +66,7 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("--curve-type", type=str, default=None,
                    choices=["gilbert", "sliced", "transposed"],
                    help="space-filling curve for token reordering")
-    p.add_argument("--q-group", type=int, default=None,
+    p.add_argument("--q-group", type=_q_group_arg, default=None,
                    help="shared-gather attention: this many query blocks "
                         "share one KV gather (presets default to 8 — the "
                         "benchmarked production config; with joint "

@@ -134,6 +134,66 @@ def test_wan_turbo_depth_extrapolation_scales_trunk_only():
             - c10["n1"] * c10["step_c1"]) == pytest.approx(skip_part)
 
 
+def test_warmup_drops_schedule():
+    """Reference ramp min(drop, idx/49*10*drop) covers exactly steps 0-4;
+    effective drops <= 0.25 mark the dense fallback
+    (`/root/reference/jenga_wan.py:204-206`,
+    `/root/reference/wan/modules/model_mul.py:152-159`)."""
+    w = bench_wan.warmup_drops(0.75)
+    assert [i for i, _ in w] == [0, 1, 2, 3, 4]
+    assert w[0][1] == 0.0
+    assert w[1][1] == pytest.approx(0.75 * 10 / 49)
+    assert sum(1 for _, e in w if e <= 0.25) == 2
+    # 14B turbo stage 0 (drop 0.5): three steps fall at/below the dense cut
+    w = bench_wan.warmup_drops(0.5)
+    assert len(w) == 5
+    assert sum(1 for _, e in w if e <= 0.25) == 3
+
+
+def test_wan_turbo_compose_warmup_term():
+    """Warmup entries replace stage-0 computed steps and are costed at
+    their own measured times (dense ones at the stage-0 dense step); the
+    no-warmup model is strictly faster (ADVICE r3: it was biased low)."""
+    warm = [
+        {"idx": 0, "drop": 0.0, "dense": True, "t": 2.5, "density": 1.0},
+        {"idx": 1, "drop": 0.153, "dense": True, "t": 2.5, "density": 1.0},
+        {"idx": 2, "drop": 0.306, "dense": False, "t": 1.8, "density": 0.8},
+        {"idx": 3, "drop": 0.459, "dense": False, "t": 1.5, "density": 0.65},
+        {"idx": 4, "drop": 0.612, "dense": False, "t": 1.2, "density": 0.5},
+    ]
+    m0 = dict(_wan_stage(1.0, 0.05, 18432, 0.30, t_dense=2.5), warmup=warm)
+    m1 = _wan_stage(1.9, 0.05, 32768, 0.21, t_dense=4.2)
+    kw = dict(depth_scale=1.0, dim=1536, ffn_dim=8960, text_len=512,
+              ref_speedup=6.16)
+    c = bench_wan.compose_turbo(m0, m1, **kw)
+    assert c["n0_full"] == 13 - 5
+    total = (2 * 2.5 + 1.8 + 1.5 + 1.2          # 5 warmup steps
+             + 8 * 1.0 + (26 - 13) * 0.05       # rest of stage 0
+             + 12 * 1.9 + (24 - 12) * 0.05)     # stage 1
+    assert c["carved_clip"] == pytest.approx(total)
+    legacy = bench_wan.compose_turbo(
+        _wan_stage(1.0, 0.05, 18432, 0.30, t_dense=2.5), m1, **kw)
+    assert c["carved_clip"] > legacy["carved_clip"]
+    assert c["dense_clip"] == legacy["dense_clip"]
+    # the ceiling pays the same warmup schedule (dense warmup at density 1)
+    assert c["ceiling_vs_baseline"] < legacy["ceiling_vs_baseline"]
+
+
+def test_wan_turbo_compose_warmup_depth_extrapolation():
+    """Warmup step costs extrapolate like every other step: skip path
+    once + trunk delta x depth_scale."""
+    warm = [{"idx": 0, "drop": 0.0, "dense": True, "t": 2.5, "density": 1.0},
+            {"idx": 2, "drop": 0.3, "dense": False, "t": 1.8,
+             "density": 0.8}]
+    m0 = dict(_wan_stage(1.0, 0.05, 18432, 0.30, t_dense=2.5), warmup=warm)
+    m1 = _wan_stage(1.9, 0.05, 32768, 0.21, t_dense=4.2)
+    kw = dict(dim=5120, ffn_dim=13824, text_len=512, ref_speedup=6.12)
+    c10 = bench_wan.compose_turbo(m0, m1, depth_scale=10.0, **kw)
+    want = ((0.05 + (2.5 - 0.05) * 10)
+            + (0.05 + (1.8 - 0.05) * 10))
+    assert c10["warm_cost"] == pytest.approx(want)
+
+
 def test_wan_turbo_ceiling_monotone_in_density():
     """A sparser realized selection raises the attainable ceiling; a
     missing density (CPU run) disables it."""

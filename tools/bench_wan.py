@@ -78,6 +78,27 @@ TASK = os.environ.get("BENCH_TASK", "1.3b").lower()
 PRESET = os.environ.get("BENCH_PRESET", "base").lower()
 
 
+def warmup_drops(drop: float, steps: int = STEPS):
+    """Per-step effective drop rates during the reference's drop-rate
+    warmup (`/root/reference/jenga_wan.py:204-206`: ``min(drop,
+    idx/(steps-1)*10*drop)``) — exactly steps 0..4 for any ``drop``.
+
+    Returns ``[(idx, eff_drop), ...]`` for the steps whose effective drop
+    is below ``drop``. ``eff_drop <= 0.25`` means the reference runs the
+    dense flash-attention fallback for that step
+    (`/root/reference/wan/modules/model_mul.py:152-159`). All warmup steps
+    are TeaCache-computed: ``use_ret_steps`` pins ``ret_steps = 5*2``
+    model calls = the first 5 steps (`/root/reference/jenga_wan.py:1090`).
+    """
+    out = []
+    for idx in range(steps):
+        eff = min(drop, idx / (steps - 1) * 10.0 * drop)
+        if eff >= drop:
+            break
+        out.append((idx, eff))
+    return out
+
+
 def _tie_qk(params):
     """Aligned-attention init: tie each block's k-projection to its
     q-projection (same protocol as bench.tie_qk_projections; see bench.py
@@ -134,9 +155,11 @@ def main():
         drops = (0.75, 0.85)     # scripts/wan_1.3B_jenga_base.sh
         # 832x480x81f -> latents (16, 21, 60, 104) -> grid (21, 30, 52)
         lat_f, lat_h, lat_w = 21, 60, 104
-    depth_scale = full_layers / cfg.num_layers
     if QUICK:
         cfg = dataclasses.replace(cfg, num_layers=4)
+    # after the QUICK cut so smoke runs print extrapolated (comparable)
+    # clip times too (ADVICE r3)
+    depth_scale = full_layers / cfg.num_layers
 
     kerr = -1.0
     if jax.default_backend() != "cpu":
@@ -197,14 +220,19 @@ def main():
     # realized per-row selection density of the measured regime (first
     # block, both drop stages) — the honesty stat for the aligned-init
     # protocol and the input to the ceiling analysis below
-    density = density85 = -1.0
-    if jax.default_backend() != "cpu":
-        @jax.jit
-        def _sel(params, carve, x2, top_k):
-            return wan_first_selection_mask(params, cfg, x2, t2, ctx2,
-                                            carve, top_k)
-        density = float(_sel(params, carve, x2, tk75).mean())
-        density85 = float(_sel(params, carve, x2, tk85).mean())
+    @jax.jit
+    def _sel(params, carve, x2, top_k):
+        return wan_first_selection_mask(params, cfg, x2, t2, ctx2,
+                                        carve, top_k)
+
+    def measure_density(tk):
+        if jax.default_backend() == "cpu":
+            return -1.0
+        return float(_sel(params, carve, x2, tk).mean())
+
+    density = measure_density(tk75)
+    density85 = measure_density(tk85)
+    if density > 0:
         print(f"[bench_wan] density {density:.4f}/{density85:.4f}",
               file=sys.stderr, flush=True)
 
@@ -218,20 +246,42 @@ def main():
     residual = jnp.zeros((2, s_tokens, cfg.dim), jnp.float32)
     t_skip = _timeit(skip_path, params, x2, iters, residual)
 
+    # drop-rate warmup (ADVICE r3 medium): the reference's clip includes
+    # 5 denser early steps — 0.25-or-below effective drops run DENSE,
+    # the rest run carved at an interpolated top_k. Same compiled
+    # executable (top_k is a traced operand), so each is one extra timing.
+    warm = []
+    for idx, eff in warmup_drops(drops[0]):
+        if eff <= 0.25:
+            warm.append({"idx": idx, "drop": eff, "dense": True,
+                         "t": t_dense, "density": 1.0})
+        else:
+            tkw = jnp.int32(max(int(nb * (1.0 - eff)), 1))
+            tw = _timeit(lambda p, xx: fwd(p, carve, xx, tkw),
+                         params, x2, iters)
+            warm.append({"idx": idx, "drop": eff, "dense": False,
+                         "t": tw, "density": measure_density(tkw)})
+
     # depth extrapolation (exact for the 1.3B default: depth_scale == 1 and
     # step_X == t_X; the 14B slice scales its 4-layer trunk cost x10 —
     # linearity evidence in BENCH_FULL/BENCH_SCAN via bench.py)
-    step_c75 = t_skip + (t_c75 - t_skip) * depth_scale
-    step_c85 = t_skip + (t_c85 - t_skip) * depth_scale
-    step_dense = t_skip + (t_dense - t_skip) * depth_scale
+    def extrap(t):
+        return t_skip + (t - t_skip) * depth_scale
+
+    step_c75, step_c85, step_dense = map(extrap, (t_c75, t_c85, t_dense))
 
     # TeaCache (thresh 0.15, use_ret_steps) computes ~half the steps;
     # the computed half is split across the two drop stages in proportion
-    # to their step ranges (26 steps at 0.75, 24 at 0.85)
+    # to their step ranges (26 steps at 0.75, 24 at 0.85). The 5 warmup
+    # steps are always computed (ret_steps) and replace 5 of the stage-0
+    # computed steps.
     n_comp = int(STEPS * COMPUTE_FRAC)
     n75 = round(n_comp * 26 / STEPS)
     n85 = n_comp - n75
-    carved_clip = n75 * step_c75 + n85 * step_c85 + (STEPS - n_comp) * t_skip
+    n75_full = max(n75 - len(warm), 0)
+    warm_cost = sum(extrap(w["t"]) for w in warm)
+    carved_clip = (warm_cost + n75_full * step_c75 + n85 * step_c85
+                   + (STEPS - n_comp) * t_skip)
     dense_clip = STEPS * step_dense
     speedup = dense_clip / carved_clip
 
@@ -259,9 +309,16 @@ def main():
     ref_dense_tflops = flops_step / (ref_dense_s / STEPS) / 1e12  # H800 row
     ceiling_vs_baseline = -1.0
     if density > 0:
-        t_i75 = step_dense * (1 - attn_share + attn_share * density)
-        t_i85 = step_dense * (1 - attn_share + attn_share * density85)
-        ideal_clip = n75 * t_i75 + n85 * t_i85 + (STEPS - n_comp) * t_skip
+        def ideal_step(dens):
+            return step_dense * (1 - attn_share + attn_share * dens)
+        # the ideal clip pays the same warmup schedule the reference does:
+        # dense warmup steps cost the dense step even for a zero-overhead
+        # kernel; carved ones scale with their own realized density
+        warm_ideal = sum(step_dense if w["dense"] else
+                         ideal_step(w["density"]) for w in warm)
+        ideal_clip = (warm_ideal + n75_full * ideal_step(density)
+                      + n85 * ideal_step(density85)
+                      + (STEPS - n_comp) * t_skip)
         ceiling_vs_baseline = (dense_clip / ideal_clip) / ref_speedup
 
     sel_desc = (f"joint {QROWS}-row group selection" if QROWS > 1
@@ -273,7 +330,10 @@ def main():
                     "layers and extrapolated"))
     line = json.dumps({
         "metric": "Wan2.1-{} DiT s/clip, Jenga-Base carving (drop "
-                  "{}/{}, {}) + TeaCache ({}+{} computed, {} skipped), "
+                  "{}/{}, {}) + TeaCache ({} warmup [{} dense] + {}+{} "
+                  "computed, {} skipped; warmup steps costed at their "
+                  "measured interpolated-top_k/dense times per the "
+                  "reference's min(drop, idx/49*10*drop) ramp), "
                   "{}, 50 steps (our dense {:.0f}s; per-step "
                   "carved {:.2f}/{:.2f}s dense {:.2f}s skip {:.3f}s). "
                   "Ceiling context: self-attention is {:.0f}% of step "
@@ -286,7 +346,8 @@ def main():
                   "a FLOP-share model of attention time; attention's TIME "
                   "share exceeds its FLOP share on the MXU, so the model "
                   "is conservative and a measured number can exceed it"
-                  .format(name, drops[0], drops[1], sel_desc, n75, n85,
+                  .format(name, drops[0], drops[1], sel_desc, len(warm),
+                          sum(1 for w in warm if w["dense"]), n75_full, n85,
                           STEPS - n_comp, size_desc, dense_clip,
                           step_c75, step_c85, step_dense, t_skip,
                           100 * attn_share, s_tokens // 1000,
@@ -330,13 +391,23 @@ def compose_turbo(m0, m1, depth_scale, dim, ffn_dim, text_len, ref_speedup,
     ``switch_step + 1`` steps; TeaCache computes ``compute_frac`` of the
     steps, split across stages in proportion to their step ranges; the
     dense comparator is the full-res dense step for all ``steps`` steps
-    (the reference's denominator never runs reduced-res stages). The
-    ceiling uses the same conservative FLOP-share model as main():
+    (the reference's denominator never runs reduced-res stages).
+
+    Drop-rate warmup (ADVICE r3 medium): ``m0`` may carry a ``"warmup"``
+    list of ``{"drop", "dense", "t", "density"}`` entries — the first 5
+    steps run at ``min(drop, idx/49*10*drop)`` in the reference (dense
+    fallback at <= 0.25) and are always TeaCache-computed (ret_steps);
+    they replace that many stage-0 computed steps and are costed at their
+    measured times. Without the key, warmup is excluded (legacy smoke
+    behavior).
+
+    The ceiling uses the same conservative FLOP-share model as main():
     relative to the full-res dense step, stage 0's linear FLOPs scale
     with its token ratio r and its attention FLOPs with r^2 * realized
-    density; stage 1 is the Base model at its density. Attention's TIME
-    share exceeds its FLOP share on the MXU, so the model is conservative
-    and a measured number can exceed it.
+    density (warmup steps use their own realized density; dense warmup
+    steps use density 1); stage 1 is the Base model at its density.
+    Attention's TIME share exceeds its FLOP share on the MXU, so the
+    model is conservative and a measured number can exceed it.
     """
     k0 = switch_step + 1
     k1 = steps - k0
@@ -346,11 +417,16 @@ def compose_turbo(m0, m1, depth_scale, dim, ffn_dim, text_len, ref_speedup,
 
     step_c0, step_c1 = step_of(m0, "t_carved"), step_of(m1, "t_carved")
     step_dense = step_of(m1, "t_dense")
+    warm = m0.get("warmup", [])
 
     n_comp = int(steps * compute_frac)
     n0 = round(n_comp * k0 / steps)
     n1 = n_comp - n0
-    carved_clip = (n0 * step_c0 + (k0 - n0) * m0["t_skip"]
+    n0_full = max(n0 - len(warm), 0)
+    warm_cost = sum(step_of(m0, "t_dense") if w["dense"]
+                    else m0["t_skip"] + (w["t"] - m0["t_skip"]) * depth_scale
+                    for w in warm)
+    carved_clip = (warm_cost + n0_full * step_c0 + (k0 - n0) * m0["t_skip"]
                    + n1 * step_c1 + (k1 - n1) * m1["t_skip"])
     dense_clip = steps * step_dense
     speedup = dense_clip / carved_clip
@@ -362,15 +438,20 @@ def compose_turbo(m0, m1, depth_scale, dim, ffn_dim, text_len, ref_speedup,
     r = m0["s_tokens"] / s1_tok
     ceiling_vs_baseline = -1.0
     if m0["density"] > 0:
-        t_i0 = step_dense * ((1 - a) * r + a * r * r * m0["density"])
+        def ideal0(dens):
+            return step_dense * ((1 - a) * r + a * r * r * dens)
+        warm_ideal = sum(ideal0(1.0 if w["dense"] else w["density"])
+                         for w in warm)
         t_i1 = step_dense * ((1 - a) + a * m1["density"])
-        ideal = (n0 * t_i0 + (k0 - n0) * m0["t_skip"]
+        ideal = (warm_ideal + n0_full * ideal0(m0["density"])
+                 + (k0 - n0) * m0["t_skip"]
                  + n1 * t_i1 + (k1 - n1) * m1["t_skip"])
         ceiling_vs_baseline = (dense_clip / ideal) / ref_speedup
 
     return {
-        "n0": n0, "n1": n1, "k0": k0, "k1": k1,
+        "n0": n0, "n1": n1, "k0": k0, "k1": k1, "n0_full": n0_full,
         "step_c0": step_c0, "step_c1": step_c1, "step_dense": step_dense,
+        "warm_cost": warm_cost,
         "carved_clip": carved_clip, "dense_clip": dense_clip,
         "speedup": speedup, "ceiling_vs_baseline": ceiling_vs_baseline,
         "vs_baseline": speedup / ref_speedup,
@@ -399,9 +480,9 @@ def turbo_main():
         ref_speedup = 6.16       # 111/18, README.md:207-210
         drops = (0.75, 0.85)     # scripts/wan_1.3B_jenga_turbo.sh
         lat_f, lat_h, lat_w = 21, 60, 104
-    depth_scale = full_layers / cfg.num_layers
     if QUICK:
         cfg = dataclasses.replace(cfg, num_layers=4)
+    depth_scale = full_layers / cfg.num_layers
 
     kerr = -1.0
     if jax.default_backend() != "cpu":
@@ -421,10 +502,14 @@ def turbo_main():
     lh0 = int(lat_h * 0.75) // 2 * 2
     lw0 = int(lat_w * 0.75) // 2 * 2
 
-    def measure_stage(lh, lw, drop, want_dense):
+    def measure_stage(lh, lw, drop, want_dense, warmup=False):
         """Compile+time one stage geometry, then release its executables
         before the next stage compiles (the 14B full-res dense + carved +
-        both stage-0 programs would otherwise crowd the 16GB chip)."""
+        both stage-0 programs would otherwise crowd the 16GB chip).
+
+        ``warmup``: also measure the reference's 5 drop-rate-warmup steps
+        (interpolated top_k on the SAME compiled carved executable; dense
+        fallbacks reuse the dense arm, so ``want_dense`` must be set)."""
         grid = (lat_f, lh // 2, lw // 2)
         plan = build_curve_plan(grid, "sliced", 128)
         carve = make_wan_carve(cfg, plan, sa_drop_rate=drop, p_remain=0.15,
@@ -447,15 +532,17 @@ def turbo_main():
         s_tokens = nb * 128
         residual = jnp.zeros((2, s_tokens, cfg.dim), jnp.float32)
 
-        density = -1.0
-        if jax.default_backend() != "cpu":
-            @jax.jit
-            def _sel(params, carve, x2, top_k):
-                return wan_first_selection_mask(params, cfg, x2, t2, ctx2,
-                                                carve, top_k)
-            density = float(_sel(params, carve, x2, tk).mean())
+        @jax.jit
+        def _sel(params, carve, x2, top_k):
+            return wan_first_selection_mask(params, cfg, x2, t2, ctx2,
+                                            carve, top_k)
 
-        out = {"density": density, "s_tokens": s_tokens}
+        def measure_density(tkv):
+            if jax.default_backend() == "cpu":
+                return -1.0
+            return float(_sel(params, carve, x2, tkv).mean())
+
+        out = {"density": measure_density(tk), "s_tokens": s_tokens}
         out["t_carved"] = _timeit(
             lambda p, xx: fwd(p, carve, xx, tk), params, x2, iters)
         out["t_skip"] = _timeit(
@@ -465,11 +552,27 @@ def turbo_main():
             out["t_dense"] = _timeit(
                 lambda p, xx: fwd(p, dcarve, xx, jnp.int32(0)),
                 params, x2, iters)
+        if warmup:
+            out["warmup"] = []
+            for idx, eff in warmup_drops(drop):
+                if eff <= 0.25:
+                    out["warmup"].append(
+                        {"idx": idx, "drop": eff, "dense": True,
+                         "t": out["t_dense"], "density": 1.0})
+                else:
+                    tkw = jnp.int32(max(int(nb * (1.0 - eff)), 1))
+                    tw = _timeit(lambda p, xx: fwd(p, carve, xx, tkw),
+                                 params, x2, iters)
+                    out["warmup"].append(
+                        {"idx": idx, "drop": eff, "dense": False,
+                         "t": tw, "density": measure_density(tkw)})
         print(f"[bench_wan turbo] stage {lh}x{lw} drop={drop}: {out}",
               file=sys.stderr, flush=True)
         return out
 
-    m0 = measure_stage(lh0, lw0, drops[0], want_dense=False)
+    # stage 0 needs its own dense arm: the reference's warmup runs the
+    # first ~2 steps DENSE at stage-0 resolution (ADVICE r3 medium)
+    m0 = measure_stage(lh0, lw0, drops[0], want_dense=True, warmup=True)
     m1 = measure_stage(lat_h, lat_w, drops[1], want_dense=True)
 
     c = compose_turbo(m0, m1, depth_scale, cfg.dim, cfg.ffn_dim,
@@ -487,7 +590,10 @@ def turbo_main():
         "metric": "Wan2.1-{} DiT s/clip, Jenga-Turbo (stage 0: 26 steps "
                   "at 0.75 spatial res drop {}, stage 1: 24 steps full "
                   "res drop {}, joint {}-row group selection) + TeaCache "
-                  "({}+{} computed, {} skipped), {}x{}x81f{}; our dense "
+                  "({} warmup [{} dense, costed at their measured "
+                  "interpolated-top_k/dense stage-0 times per the "
+                  "reference's min(drop, idx/49*10*drop) ramp] + {}+{} "
+                  "computed, {} skipped), {}x{}x81f{}; our dense "
                   "(full-res, the reference's denominator) {:.0f}s; "
                   "per-step carved {:.2f}/{:.2f}s dense {:.2f}s skip "
                   "{:.3f}/{:.3f}s; speedup {:.2f}x (ref {:.2f}x on H800). "
@@ -497,7 +603,10 @@ def turbo_main():
                   "as the Base artifact (our dense denominator runs a "
                   "far larger fraction of v5e peak than the reference's "
                   "does of H800 peak — see BENCH_WAN.json)"
-                  .format(name, drops[0], drops[1], QROWS, n0, n1,
+                  .format(name, drops[0], drops[1], QROWS,
+                          len(m0["warmup"]),
+                          sum(1 for w in m0["warmup"] if w["dense"]),
+                          c["n0_full"], n1,
                           STEPS - n_comp, lat_w * 8, lat_h * 8,
                           "" if depth_scale == 1 else
                           f", trunk measured at {cfg.num_layers}/"
