@@ -27,11 +27,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.block_sparse_attention import block_sparse_attention
 from ..ops.flash_attention import attention_bshd
 from ..parallel.ulysses import ulysses_self_attention
-from ..sparse.planner import build_block_mask, mask_to_block_lists, \
-    pack_block_lists
+from ..sparse.planner import build_block_mask
 from . import layers as L
 
 __all__ = ["HYVideoConfig", "HYCarve", "init_hyvideo_params",
@@ -419,16 +417,12 @@ def _joint_attention(q, k, v, cfg: HYVideoConfig, carve: HYCarve | None,
         sel_group=qr if joint else 1)
     full = jnp.ones((b, n, num_blocks - tsb, num_blocks), bool)
     mask = jnp.concatenate([mask, full], axis=2)
-    if qr > 1:
-        from ..ops.block_sparse_attention import grouped_attention_from_mask
-        out = grouped_attention_from_mask(
-            qt, kt, vt, mask, q_rows=qr, seqlens=seqlen,
-            text_start_block=tsb, text_amp=carve.text_amp, joint=joint)
-        return out.transpose(0, 2, 1, 3)[:, :s].reshape(b, s, n * hd)
-    lists = pack_block_lists(*mask_to_block_lists(mask), seqlens=seqlen)
-    out = block_sparse_attention(
-        qt, kt, vt, lists, text_start_block=tsb,
-        text_amp=carve.text_amp)
+    # differentiable dispatch: Pallas kernels forward, recompute-style jnp
+    # backward under jax.grad (ops/sparse_autodiff.py)
+    from ..ops.sparse_autodiff import sparse_attention_from_mask
+    out = sparse_attention_from_mask(
+        qt, kt, vt, mask, seqlens=seqlen, text_start_block=tsb,
+        text_amp=carve.text_amp, q_rows=qr, joint=joint)
     return out.transpose(0, 2, 1, 3)[:, :s].reshape(b, s, n * hd)
 
 

@@ -29,11 +29,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.block_sparse_attention import block_sparse_attention
 from ..ops.flash_attention import attention_bshd
 from ..parallel.ulysses import ulysses_self_attention
-from ..sparse.planner import build_block_mask, mask_to_block_lists, \
-    pack_block_lists
+from ..sparse.planner import build_block_mask
 from . import layers as L
 
 __all__ = ["WanConfig", "WanCarve", "init_wan_params", "wan_forward",
@@ -315,19 +313,14 @@ def _self_attention(p, x, cfg: WanConfig, carve: WanCarve | None,
             block_neighbors=carve.block_neighbors,
             first_frame_blocks=carve.first_frame_blocks,
             sel_group=qr if joint else 1)
-        if qr > 1:
-            from ..ops.block_sparse_attention import \
-                grouped_attention_from_mask
-            out = grouped_attention_from_mask(
-                qt, kt, vt, mask, q_rows=qr, seqlens=carve.seqlen,
-                text_start_block=num_blocks, joint=joint)
-            out = out.transpose(0, 2, 1, 3)
-        else:
-            lists = pack_block_lists(*mask_to_block_lists(mask),
-                                     seqlens=carve.seqlen)
-            out = block_sparse_attention(
-                qt, kt, vt, lists,
-                text_start_block=num_blocks).transpose(0, 2, 1, 3)
+        # differentiable dispatch: Pallas kernels forward, recompute-style
+        # jnp backward under jax.grad (LoRA fine-tuning on carved
+        # trajectories, ops/sparse_autodiff.py)
+        from ..ops.sparse_autodiff import sparse_attention_from_mask
+        out = sparse_attention_from_mask(
+            qt, kt, vt, mask, seqlens=carve.seqlen,
+            text_start_block=num_blocks, q_rows=qr,
+            joint=joint).transpose(0, 2, 1, 3)
     return L.linear(p["o"], out.reshape(b, s, d))
 
 
@@ -446,7 +439,11 @@ def wan_trunk(params, cfg: WanConfig, h, aux,
 
     ``remat`` wraps each block in ``jax.checkpoint`` — trades FLOPs for
     activation memory under ``jax.grad`` (LoRA fine-tuning at video
-    lengths); a no-op for inference-only forwards.
+    lengths); a no-op for inference-only forwards. Carved forwards are
+    differentiable: the block-sparse kernels' backward recomputes through
+    the dense jnp oracle per head slice (``ops/sparse_autodiff.py``),
+    which is where the memory goes — keep ``remat=True`` when training
+    carved at long sequence lengths.
     """
     if carve is not None:
         rope_cos = jnp.asarray(carve.rope_cos)

@@ -30,6 +30,11 @@ def make_lora_train_step(model_apply, tcfg: TransportConfig, optimizer,
     requires_grad_(False) + peft adapters
     (`/root/reference/hyvideo_i2v/utils/train_utils.py`).
 
+    Carve-bearing forwards train too: the Pallas kernels' backward is a
+    recompute through the jnp oracle masked by the same selection
+    (``ops/sparse_autodiff.py``) — O(S * Skv) memory per head slice, so
+    pair video-length sequences with ``remat=True`` on the trunk.
+
     Returns ``step(lora, opt_state, base_params, batch, key)
     -> (lora, opt_state, loss)``.
     """
