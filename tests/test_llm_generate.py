@@ -67,6 +67,80 @@ def test_greedy_generate_matches_hf_qwen_style_bias():
     assert ours[0] == hf_out.tolist()
 
 
+def test_qwen2_architecture_matches_hf():
+    """The reference's local expanders are actual Qwen2.5 checkpoints
+    (`/root/reference/wan/utils/prompt_extend.py:235-545`). Qwen2 = llama
+    with q/k/v biases but NO o_proj bias, rope_theta 1e6 — convert the
+    real HF ``Qwen2ForCausalLM`` class and pin greedy generation plus
+    prefill logits (VERDICT r3 missing-2)."""
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+    qcfg = Qwen2Config(vocab_size=64, hidden_size=32, intermediate_size=64,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       num_key_value_heads=2, rope_theta=1000000.0,
+                       rms_norm_eps=1e-6, tie_word_embeddings=True)
+    torch.manual_seed(5)
+    model = Qwen2ForCausalLM(qcfg).eval()
+    cfg = LlamaConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                      num_layers=2, num_heads=4, num_kv_heads=2,
+                      rope_theta=1000000.0, rms_eps=1e-6, dtype="float32")
+    params = jax.tree.map(jnp.asarray,
+                          convert_llama(model.state_dict(), cfg))
+    blk = params["blocks"][0]
+    assert "b" in blk["q"] and "b" in blk["k"] and "b" in blk["v"]
+    assert "b" not in blk["o"]          # Qwen2 o_proj has no bias
+    if "lm_head" in params:             # HF materializes the tied head
+        np.testing.assert_array_equal(np.asarray(params["lm_head"]["w"]),
+                                      np.asarray(params["embed"]).T)
+
+    torch.manual_seed(6)
+    ids = torch.randint(0, 64, (1, 6))
+    with torch.no_grad():
+        hf_out = model.generate(ids, max_new_tokens=8, do_sample=False,
+                                eos_token_id=None,
+                                pad_token_id=0).numpy()[0, 6:]
+        hf_logits = model(input_ids=ids).logits
+    ours = llama_generate(params, cfg, jnp.asarray(ids.numpy()),
+                          jnp.ones((1, 6), jnp.int32), max_new_tokens=8)
+    assert ours[0] == hf_out.tolist()
+    logits, _, _ = llama_prefill(params, cfg, jnp.asarray(ids.numpy()),
+                                 jnp.ones((1, 6), jnp.int32), max_len=16)
+    np.testing.assert_allclose(np.asarray(logits[0]),
+                               hf_logits[0, -1].numpy(), atol=2e-4,
+                               rtol=2e-3)
+
+
+def test_local_expander_loads_qwen2_checkpoint_dir(tmp_path):
+    """LocalLLMExpander reads a Qwen2 ``config.json`` (the reference's
+    expander model format) and generates through the JAX LM."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+    from jenga_tpu.text.prompt_extend import (LocalLLMExpander,
+                                              PromptExpander)
+
+    qcfg = Qwen2Config(vocab_size=64, hidden_size=32, intermediate_size=64,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       num_key_value_heads=2, rope_theta=1000000.0,
+                       rms_norm_eps=1e-6, tie_word_embeddings=True)
+    torch.manual_seed(7)
+    Qwen2ForCausalLM(qcfg).eval().save_pretrained(str(tmp_path))
+    vocab = {f"w{i}": i for i in range(62)}
+    vocab["<pad>"] = 62
+    vocab["<unk>"] = 63
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.save(str(tmp_path / "tokenizer.json"))
+    (tmp_path / "tokenizer_config.json").write_text(json.dumps(
+        {"tokenizer_class": "PreTrainedTokenizerFast",
+         "pad_token": "<pad>", "unk_token": "<unk>", "eos_token": "<pad>",
+         "model_max_length": 512}))
+
+    exp = LocalLLMExpander(str(tmp_path), max_new_tokens=4)
+    assert exp.cfg.rope_theta == 1000000.0
+    assert "b" in exp.params["blocks"][0]["q"]
+    out = PromptExpander(chat_fn=exp, mode="t2v")("w1 w2 w3")
+    assert isinstance(out, str) and len(out) > 0
+
+
 def test_prefill_logits_match_hf():
     model = _tiny_lm()
     cfg = _our_cfg()
