@@ -127,13 +127,16 @@ class HYVideoT2VPipeline:
 
     def generate(self, text_states, text_mask, text_states_2,
                  opts: HYT2VOptions, negative=None, decode: bool = True,
-                 on_step=None, initial_latents=None):
+                 on_step=None, initial_latents=None, stage_noises=None):
         """Run the ProRes denoise loop.
 
         ``text_states`` [L, 4096] LLM token states, ``text_mask`` [L],
         ``text_states_2`` [768] CLIP pooled; ``negative`` an optional
         matching triple for CFG. Returns decoded video (with a VAE) or
-        final latents [C, F, H, W] f32.
+        final latents [C, F, H, W] f32. ``stage_noises`` optionally maps
+        stage index (1..) to the [C, F, H, W] re-noise draw used at that
+        stage's switch (cross-implementation parity; the reference draws
+        it from ``generator`` at the switch, `prores:700-707`).
         """
         from ..configs.validate import validate_hy_options
         validate_hy_options(opts)
@@ -228,8 +231,13 @@ class HYVideoT2VPipeline:
                     schedule = flow_match_schedule(n, shift=new_shift,
                                                    reverse=True)
                     key, kn = jax.random.split(key)
-                    noise = jax.random.normal(
-                        kn, (1, cfg.in_channels, *lat_shape), jnp.float32)
+                    if stage_noises is not None and stage_idx in stage_noises:
+                        noise = jnp.asarray(stage_noises[stage_idx],
+                                            jnp.float32)[None]
+                    else:
+                        noise = jax.random.normal(
+                            kn, (1, cfg.in_channels, *lat_shape),
+                            jnp.float32)
                     clean = schedule.predict_x0(i, latents, v)
                     clean = jax.image.resize(
                         clean, (1, cfg.in_channels, *lat_shape),

@@ -186,12 +186,16 @@ class WanT2VPipeline:
     # ---------------------------------------------------------- generation
 
     def generate(self, context, context_null, opts: WanT2VOptions,
-                 decode: bool = True, on_step=None, initial_latents=None):
+                 decode: bool = True, on_step=None, initial_latents=None,
+                 stage2_noise=None):
         """Run the denoise loop. ``context``/``context_null`` are encoded
         prompt embeddings [L, text_dim] (unpadded). Returns decoded video
         (if a VAE is attached and ``decode``) else final latents
         [C, F, H, W] (f32). ``initial_latents`` [C, F, H, W] overrides the
-        seeded noise (reproducibility / cross-implementation parity)."""
+        seeded noise; ``stage2_noise`` [C, F, H, W] overrides the turbo
+        stage-switch re-noise draw (both for reproducibility /
+        cross-implementation parity — the reference draws both from one
+        generator, `/root/reference/jenga_wan.py:158-181`)."""
         from ..configs.validate import validate_wan_options
         validate_wan_options(opts)
         cfg = self.cfg
@@ -210,8 +214,11 @@ class WanT2VPipeline:
         else:
             latents = jax.random.normal(k0, (1, c, f, lh0, lw0),
                                         jnp.float32)
-        stage2_noise = (jax.random.normal(k1, (1, c, f, lh, lw), jnp.float32)
-                        if opts.enable_turbo else None)
+        if stage2_noise is not None:
+            stage2_noise = jnp.asarray(stage2_noise, jnp.float32)[None]
+        elif opts.enable_turbo:
+            stage2_noise = jax.random.normal(k1, (1, c, f, lh, lw),
+                                             jnp.float32)
 
         # padded text context batch [2, text_len, text_dim]
         def pad_ctx(x):
