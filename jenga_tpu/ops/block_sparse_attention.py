@@ -38,6 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.device import gather_group_width
+
 _LOG2E = 1.4426950408889634
 DEFAULT_BLOCK = 128
 
@@ -312,11 +314,12 @@ def block_sparse_attention(
         # Mosaic only targets TPU; emulate on CPU (tests, tiny local runs).
         interpret = jax.default_backend() == "cpu"
     if group is None:
-        # with the 2-deep prefetch, 16 KV blocks per group measured best on
-        # v5e at d=128 (16/24/32 -> 552/557/566 ms at the HY-720p shape);
-        # scale down for fatter heads so the 4-slot packed-KV scratch
-        # stays well under VMEM.
-        group = max(4, 2048 // max(q.shape[-1], 128))
+        # device-keyed default (utils/device.py, PROJECTION.md): 16 at
+        # d=128 on v5e (with the 2-deep prefetch, 16/24/32 measured
+        # 552/557/566 ms at the HY-720p shape), 24 projected on v5p where
+        # the per-row kernel sits near the roofline ridge; scaled down for
+        # fatter heads so the 4-slot packed-KV scratch stays under VMEM.
+        group = gather_group_width(q.shape[-1])
     b, h, s, d = q.shape
     skv = k.shape[2]
     block_m = DEFAULT_BLOCK
@@ -717,11 +720,12 @@ def block_sparse_attention_grouped(
     if not 1 <= q_rows <= 8:
         raise ValueError(f"q_rows must be in [1, 8], got {q_rows}")
     if group is None:
+        # device-keyed base width (utils/device.py, PROJECTION.md); then:
         # the (q_rows*128, group*128) f32 logits + probs must fit VMEM
         # (~16MB/core) next to the 4-slot KV scratch: halve the KV group
         # width past q_rows=4, and again for >2-byte KV dtypes (f32 tests;
         # production runs bf16) whose packed scratch is twice the size.
-        group = max(4, 2048 // max(q.shape[-1], 128))
+        group = gather_group_width(q.shape[-1])
         if q_rows > 4:
             group = max(4, group // 2)
         elif all_member:
