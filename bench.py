@@ -537,7 +537,11 @@ def main():
         # dense/carved agreement ~ 1.04/1.12).
         "depth_note": "FULL 6-layer program compiles 0.2GB from the HBM "
                       "ceiling with reduced overlap (ballast-refuted as "
-                      "runtime occupancy); QUICK rate is representative",
+                      "runtime occupancy); QUICK rate is representative. "
+                      "Demonstrated directly off the ceiling: "
+                      "DEPTH_OFFCEILING.json measures 3/6/12-layer trunks "
+                      "at 57.6k tokens with per-layer agreement "
+                      "0.98-1.00 per arm (offceiling_agreement field)",
         "vs_baseline": round(speedup / REF_HY_BASE_SPEEDUP, 3),
     }))
 
