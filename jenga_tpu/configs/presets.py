@@ -7,8 +7,12 @@ first-class values consumed by the pipelines and the CLI.
 All presets carry ``q_group=8`` (joint 8-row group selection feeding the
 vectorized all-member shared-gather kernel) — the TPU production config
 every committed BENCH artifact measures, with its granularity cost
-pinned at zero added deviation in FIDELITY.json. ``--q-group 1`` /
-``--no-joint-sel`` restore the reference-exact per-128-row selection.
+pinned at zero added deviation in FIDELITY.json on BOTH architectures:
+Wan-1.3B Base (832x480x33f) and the HY ProRes Turbo trajectory across
+the stage switch with text_amp + fixed-skip (960x512x33f, q8-vs-per-row
+rel err 0.86%, below both arms' ~1.1% deviation from dense).
+``--q-group 1`` / ``--no-joint-sel`` restore the reference-exact
+per-128-row selection.
 """
 
 from __future__ import annotations
