@@ -102,12 +102,19 @@ class WanCarve:
     joint_sel: bool = False         # q_rows>1 only: joint group selection
                                     # (planner pools queries per group so
                                     # union == density; see HYCarve)
+    sel_mask: object = None         # optional precomputed selection mask
+                                    # ([B,H,nqb,nkb] bool, group-pooled
+                                    # rows when joint_sel) — bypasses the
+                                    # planner in every layer. For replaying
+                                    # a recorded selection (curve_viz
+                                    # triage) and planner-cost ablations
+                                    # (tools/wan_trunk_ablate.py).
 
 
 jax.tree_util.register_dataclass(
     WanCarve,
     data_fields=["curve_order", "inverse_order", "block_neighbors",
-                 "rope_cos", "rope_sin"],
+                 "rope_cos", "rope_sin", "sel_mask"],
     meta_fields=["sa_drop_rate", "p_remain", "first_frame_blocks",
                  "seqlen", "q_rows", "joint_sel"])
 
@@ -306,13 +313,16 @@ def _self_attention(p, x, cfg: WanConfig, carve: WanCarve | None,
             top_k = int(num_blocks * (1.0 - carve.sa_drop_rate))
         qr = max(1, int(getattr(carve, "q_rows", 1)))
         joint = qr > 1 and bool(getattr(carve, "joint_sel", False))
-        mask = build_block_mask(
-            qt, kt,
-            top_k=top_k, p_remain=carve.p_remain,
-            text_start_block=num_blocks, text_blocks=0,
-            block_neighbors=carve.block_neighbors,
-            first_frame_blocks=carve.first_frame_blocks,
-            sel_group=qr if joint else 1)
+        if carve.sel_mask is not None:
+            mask = carve.sel_mask
+        else:
+            mask = build_block_mask(
+                qt, kt,
+                top_k=top_k, p_remain=carve.p_remain,
+                text_start_block=num_blocks, text_blocks=0,
+                block_neighbors=carve.block_neighbors,
+                first_frame_blocks=carve.first_frame_blocks,
+                sel_group=qr if joint else 1)
         # differentiable dispatch: Pallas kernels forward, recompute-style
         # jnp backward under jax.grad (LoRA fine-tuning on carved
         # trajectories, ops/sparse_autodiff.py)

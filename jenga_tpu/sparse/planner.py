@@ -72,9 +72,17 @@ def build_block_mask(
     nkb = k.shape[2] // block_size
 
     # Pooling: for bf16 inputs, mean-as-matmul (ones/block vector on the
-    # MXU, f32 accumulation) — measured ~4.6 ms/layer faster than an
-    # elementwise mean at the HY-720p shape AND more precise than a bf16
-    # tree reduction. f32 inputs keep the exact elementwise mean so the
+    # MXU, f32 accumulation). A ``lax.reduce_window`` f32 pool wins the
+    # isolated microbench at the Wan 32k shape (tools/pool_probe.py:
+    # +0.32 ms over the q/k read floor vs +1.20 ms for this matmul) but
+    # LOSES in the compiled model at the HY 115k/24-head shape — bench.py
+    # A/B with identical dense arms (4.04 s both): carved75 1.66 s vs
+    # 1.57 s, carved85 1.34 s vs 1.29 s, i.e. a ~6% step regression
+    # (the f32 cast of q/k materializes ahead of the window reduction;
+    # the matmul form reads bf16 and keeps the transpose/pool inside one
+    # fusion). In-model Wan cost of this choice is bounded by the whole
+    # planner term measured in tools/wan_trunk_ablate.py (carved vs
+    # fixed-lists). f32 inputs keep the exact elementwise mean so the
     # selection stays bit-identical to the reference builder (torch
     # ``.mean``) in the parity tests.
     if q.dtype == jnp.bfloat16:

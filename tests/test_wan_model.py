@@ -141,3 +141,33 @@ def test_shared_gather_q_rows_matches_per_row():
     a, b = np.asarray(run(1)), np.asarray(run(2))
     assert np.abs(a).max() > 0          # non-degenerate activations
     np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
+
+
+def test_sel_mask_replay_matches_planner():
+    """WanCarve.sel_mask bypasses the planner in every layer; replaying
+    the planner's own mask (wan_first_selection_mask) through a
+    single-layer trunk must reproduce the planner path exactly (the
+    planner re-selects per layer, so equality requires one layer)."""
+    from jenga_tpu.models.wan import wan_first_selection_mask
+    cfg = dataclasses.replace(TINY, num_layers=1)
+    key = jax.random.PRNGKey(6)
+    params = init_wan_params(key, cfg)
+    lat = (4, 16, 24)
+    x = jax.random.normal(jax.random.fold_in(key, 1),
+                          (1, cfg.in_dim, *lat), jnp.float32)
+    t = jnp.full((1,), 600.0, jnp.float32)
+    ctx = jax.random.normal(jax.random.fold_in(key, 2),
+                            (1, cfg.text_len, cfg.text_dim), jnp.float32)
+    plan = build_curve_plan((4, 8, 12), "sliced", 128)
+    carve = make_wan_carve(cfg, plan, sa_drop_rate=0.5, p_remain=0.9)
+
+    mask = wan_first_selection_mask(params, cfg, x, t, ctx, carve)
+    fixed = dataclasses.replace(carve, sel_mask=mask)
+
+    def run(cv):
+        h0, aux = wan_embed(params, cfg, x, t, ctx, cv)
+        return wan_trunk(params, cfg, h0, aux, cv)
+
+    a, b = np.asarray(run(carve)), np.asarray(run(fixed))
+    assert np.abs(a).max() > 0
+    np.testing.assert_array_equal(a, b)
