@@ -22,13 +22,16 @@ import time
 
 
 def _q_group_arg(s: str) -> int:
-    """--q-group validator: the grouped kernel's membership words hold at
-    most 8 query rows (sparse/planner.py pack_block_lists_grouped), and 0
-    or negative values would reach the group math as q_rows=0."""
+    """--q-group validator: joint selection (the default) supports up to
+    16 rows per group; per-row selection (--no-joint-sel) is capped at 8
+    by the membership words (sparse/planner.py pack_block_lists_grouped).
+    The 8 < q_group <= 16 + --no-joint-sel combination is rejected at
+    pipeline build. 0 or negative values would reach the group math as
+    q_rows=0."""
     v = int(s)
-    if not 1 <= v <= 8:
+    if not 1 <= v <= 16:
         raise argparse.ArgumentTypeError(
-            f"--q-group must be in [1, 8], got {v}")
+            f"--q-group must be in [1, 16], got {v}")
     return v
 
 

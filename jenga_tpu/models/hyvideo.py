@@ -100,12 +100,17 @@ class HYCarve:
                         # (union == density; gather bytes / q_rows). The
                         # TPU-tuned production mode; False keeps the
                         # reference's exact per-128-row selection.
+    sel_mask: object = None  # optional precomputed selection mask
+                        # ([B,H,nqb,nkb] bool incl. the all-true text
+                        # rows) — bypasses the planner in every layer;
+                        # selection replay (curve_viz triage) + planner
+                        # ablations. See WanCarve.sel_mask.
 
 
 jax.tree_util.register_dataclass(
     HYCarve,
     data_fields=["curve_order", "inverse_order", "block_neighbors",
-                 "rope_cos", "rope_sin"],
+                 "rope_cos", "rope_sin", "sel_mask"],
     meta_fields=["sa_drop_rate", "p_remain", "text_amp", "txt_block_num",
                  "q_rows", "joint_sel"])
 
@@ -126,6 +131,10 @@ def make_hy_carve(cfg: HYVideoConfig, plan, sa_drop_rate: float,
                   txt_block_num: int = 2,
                   positions: tuple | None = None,
                   q_rows: int = 1, joint_sel: bool = False) -> HYCarve:
+    if q_rows > 8 and not joint_sel:
+        raise ValueError(
+            f"q_rows={q_rows} requires joint selection (per-row membership "
+            "words hold at most 8 rows; ops/block_sparse_attention.py)")
     cos, sin = hy_rope_tables(cfg, plan.grid, order=plan.curve_order,
                               positions=positions)
     # device arrays: see make_wan_carve — avoids giant HLO literals.
@@ -410,13 +419,16 @@ def _joint_attention(q, k, v, cfg: HYVideoConfig, carve: HYCarve | None,
     vt = v.transpose(0, 2, 1, 3)
     qr = max(1, int(carve.q_rows))
     joint = qr > 1 and bool(getattr(carve, "joint_sel", False))
-    mask = build_block_mask(
-        qt[:, :, :tsb * 128], kt, top_k=top_k, p_remain=carve.p_remain,
-        text_start_block=tsb, text_blocks=carve.txt_block_num,
-        block_neighbors=jnp.asarray(carve.block_neighbors),
-        sel_group=qr if joint else 1)
-    full = jnp.ones((b, n, num_blocks - tsb, num_blocks), bool)
-    mask = jnp.concatenate([mask, full], axis=2)
+    if carve.sel_mask is not None:
+        mask = carve.sel_mask
+    else:
+        mask = build_block_mask(
+            qt[:, :, :tsb * 128], kt, top_k=top_k, p_remain=carve.p_remain,
+            text_start_block=tsb, text_blocks=carve.txt_block_num,
+            block_neighbors=jnp.asarray(carve.block_neighbors),
+            sel_group=qr if joint else 1)
+        full = jnp.ones((b, n, num_blocks - tsb, num_blocks), bool)
+        mask = jnp.concatenate([mask, full], axis=2)
     # differentiable dispatch: Pallas kernels forward, recompute-style jnp
     # backward under jax.grad (ops/sparse_autodiff.py)
     from ..ops.sparse_autodiff import sparse_attention_from_mask

@@ -142,6 +142,10 @@ def make_wan_carve(cfg: WanConfig, plan, sa_drop_rate: float,
     ``first_frame_blocks = num_blocks // 21`` keeps the first-frame blocks
     mutually visible (`/root/reference/wan/modules/model_mul.py:164`).
     """
+    if q_rows > 8 and not joint_sel:
+        raise ValueError(
+            f"q_rows={q_rows} requires joint selection (per-row membership "
+            "words hold at most 8 rows; ops/block_sparse_attention.py)")
     s = plan.seq_len
     s_pad = -(-s // 128) * 128
     cos, sin = wan_rope_tables(cfg, plan.grid, order=plan.curve_order,

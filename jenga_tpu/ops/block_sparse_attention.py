@@ -717,16 +717,24 @@ def block_sparse_attention_grouped(
     membership half and its per-row mask are skipped."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    if not 1 <= q_rows <= 8:
-        raise ValueError(f"q_rows must be in [1, 8], got {q_rows}")
+    # membership words hold at most 8 rows; the joint all-member path
+    # carries no membership and supports wider groups (gather bytes drop
+    # another 2x at q_rows=16)
+    max_rows = 16 if all_member else 8
+    if not 1 <= q_rows <= max_rows:
+        raise ValueError(f"q_rows must be in [1, {max_rows}] for "
+                         f"all_member={all_member}, got {q_rows}")
     if group is None:
         # device-keyed base width (utils/device.py, PROJECTION.md); then:
         # the (q_rows*128, group*128) f32 logits + probs must fit VMEM
         # (~16MB/core) next to the 4-slot KV scratch: halve the KV group
-        # width past q_rows=4, and again for >2-byte KV dtypes (f32 tests;
-        # production runs bf16) whose packed scratch is twice the size.
+        # width past q_rows=4 (quarter past 8), and again for >2-byte KV
+        # dtypes (f32 tests; production runs bf16) whose packed scratch
+        # is twice the size.
         group = gather_group_width(q.shape[-1])
-        if q_rows > 4:
+        if q_rows > 8:
+            group = max(2, group // 4)
+        elif q_rows > 4:
             group = max(4, group // 2)
         elif all_member:
             # joint fast path: narrower groups win — the safe-group cond

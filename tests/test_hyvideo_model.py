@@ -228,3 +228,35 @@ def test_trunk_scan_matches_unrolled(setup):
     b = hyvideo_trunk(params, TINY, img, txth, aux, carve, scan=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_sel_mask_replay_matches_planner(setup):
+    """HYCarve.sel_mask (planner bypass) replaying the planner's own
+    first-block mask — video rows from hy_first_selection_mask plus the
+    all-true text rows — reproduces the planner path exactly on a
+    1-double/0-single trunk (selection is per block, so equality needs
+    one attention layer)."""
+    from jenga_tpu.models.hyvideo import hy_first_selection_mask
+    cfg = dataclasses.replace(TINY, double_blocks=1, single_blocks=0)
+    params, x, t, txt, mask, txt2 = setup
+    params = init_hyvideo_params(jax.random.PRNGKey(9), cfg)
+    plan = build_curve_plan((2, 4, 6), "gilbert", 128)
+    carve = make_hy_carve(cfg, plan, sa_drop_rate=0.5, p_remain=0.5,
+                          text_amp=-1.0, txt_block_num=1)
+    g = jnp.array([1000.0])
+
+    m = hy_first_selection_mask(params, cfg, x, t, txt, mask, txt2, carve,
+                                guidance=g)
+    b_, h_, tsb, nb = m.shape
+    full = jnp.ones((b_, h_, nb - tsb, nb), bool)
+    fixed = dataclasses.replace(
+        carve, sel_mask=jnp.concatenate([m, full], axis=2))
+
+    def run(cv):
+        img, txth, aux = hyvideo_embed(params, cfg, x, t, txt, mask, txt2,
+                                       cv, g)
+        return hyvideo_trunk(params, cfg, img, txth, aux, cv)
+
+    a, b = np.asarray(run(carve)[0]), np.asarray(run(fixed)[0])
+    assert np.abs(a).max() > 0
+    np.testing.assert_array_equal(a, b)

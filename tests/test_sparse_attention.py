@@ -362,3 +362,90 @@ class TestGroupedKernel:
             text_start_block=tsb, text_amp=0.7, joint=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=3e-3, rtol=3e-3)
+
+
+class TestGroupedQ16:
+    """q_rows=16 is joint/all-member only (no membership words): gather
+    bytes halve again vs q_rows=8 at unchanged FLOPs."""
+
+    def test_all_member_q16_matches_per_row(self):
+        from jenga_tpu.ops.block_sparse_attention import (
+            block_sparse_attention, block_sparse_attention_grouped)
+        from jenga_tpu.sparse.planner import (
+            mask_to_block_lists, pack_block_lists)
+
+        key = jax.random.PRNGKey(14)
+        b, h, s, d, q_rows = 1, 1, 4096, 128, 16
+        nb = s // 128
+        tsb = nb - 16          # text boundary aligned to the group width
+        seqlen = s - 77
+        kq, kk, kv, km = jax.random.split(key, 4)
+        q = jax.random.normal(kq, (b, h, s, d), jnp.float32)
+        k = jax.random.normal(kk, (b, h, s, d), jnp.float32)
+        v = jax.random.normal(kv, (b, h, s, d), jnp.float32)
+        gmask = jax.random.uniform(km, (b, h, nb // q_rows, nb)) < 0.3
+        gmask = gmask.at[..., tsb:].set(True)
+        mask = jnp.repeat(gmask, q_rows, axis=2)
+        mask = mask.at[:, :, tsb:].set(True)
+        gmask = jnp.any(mask.reshape(b, h, nb // q_rows, q_rows, nb), axis=3)
+
+        lists = pack_block_lists(*mask_to_block_lists(mask), seqlens=seqlen)
+        ref = block_sparse_attention(q, k, v, lists, text_amp=0.8,
+                                     text_start_block=tsb)
+        glists = pack_block_lists(*mask_to_block_lists(gmask),
+                                  seqlens=seqlen)
+        out = block_sparse_attention_grouped(
+            q, k, v, glists, q_rows=q_rows, text_amp=0.8,
+            text_start_block=tsb, all_member=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-3, rtol=3e-3)
+
+    def test_q16_without_all_member_rejected(self):
+        from jenga_tpu.ops.block_sparse_attention import (
+            block_sparse_attention_grouped)
+        q = jnp.zeros((1, 1, 2048, 128), jnp.float32)
+        lists = jnp.zeros((1, 1, 1, 2048), jnp.int32)
+        with pytest.raises(ValueError, match="q_rows"):
+            block_sparse_attention_grouped(q, q, q, lists, q_rows=16)
+
+    def test_carve_q16_requires_joint(self):
+        from jenga_tpu.curves.blocks import build_curve_plan
+        from jenga_tpu.models.wan import WAN_T2V_1_3B, make_wan_carve
+        plan = build_curve_plan((2, 4, 6), "sliced", 128)
+        with pytest.raises(ValueError, match="joint"):
+            make_wan_carve(WAN_T2V_1_3B, plan, sa_drop_rate=0.75,
+                           p_remain=0.15, q_rows=16, joint_sel=False)
+
+    def test_joint_helper_q16_with_row_padding(self):
+        """grouped_attention_from_mask(joint=True, q_rows=16) on a mask
+        whose query-row count is NOT a multiple of 16 (pads 20 -> 32 rows;
+        padded rows produce zeros and are sliced off)."""
+        from jenga_tpu.ops.block_sparse_attention import (
+            block_sparse_attention, grouped_attention_from_mask)
+        from jenga_tpu.sparse.planner import (
+            mask_to_block_lists, pack_block_lists)
+
+        key = jax.random.PRNGKey(15)
+        b, h, d, q_rows = 1, 1, 128, 16
+        nb, tsb = 20, 16
+        s = nb * 128
+        kq, kk, kv, km = jax.random.split(key, 4)
+        q = jax.random.normal(kq, (b, h, s, d), jnp.float32)
+        k = jax.random.normal(kk, (b, h, s, d), jnp.float32)
+        v = jax.random.normal(kv, (b, h, s, d), jnp.float32)
+        # sel_group=16-style mask: rows 0..15 share one selection, the
+        # text rows 16..19 are full
+        grow = jax.random.uniform(km, (b, h, 1, nb)) < 0.4
+        grow = grow.at[..., tsb:].set(True)
+        mask = jnp.concatenate(
+            [jnp.repeat(grow, tsb, axis=2),
+             jnp.ones((b, h, nb - tsb, nb), bool)], axis=2)
+
+        lists = pack_block_lists(*mask_to_block_lists(mask), seqlens=s - 31)
+        ref = block_sparse_attention(q, k, v, lists, text_start_block=tsb,
+                                     text_amp=0.6)
+        out = grouped_attention_from_mask(
+            q, k, v, mask, q_rows=q_rows, seqlens=s - 31,
+            text_start_block=tsb, text_amp=0.6, joint=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-3, rtol=3e-3)
