@@ -402,6 +402,10 @@ def _joint_attention(q, k, v, cfg: HYVideoConfig, carve: HYCarve | None,
         top_k = int((1.0 - carve.sa_drop_rate) * (img_len // 128))
 
     if mesh is not None:
+        if carve.sel_mask is not None:
+            raise NotImplementedError(
+                "HYCarve.sel_mask (selection replay) is single-device "
+                "only — the Ulysses path has no planner-bypass plumbing")
         # RoPE is already applied (HY rotates img q/k pre-concat), so no
         # tables are passed into the Ulysses island.
         out = ulysses_self_attention(

@@ -266,6 +266,10 @@ def _self_attention(p, x, cfg: WanConfig, carve: WanCarve | None,
     v = v.reshape(b, s, n, hd)
 
     if mesh is not None:
+        if carve is not None and carve.sel_mask is not None:
+            raise NotImplementedError(
+                "WanCarve.sel_mask (selection replay) is single-device "
+                "only — the Ulysses path has no planner-bypass plumbing")
         sparse = carve is not None and carve.sa_drop_rate > 0.25
         sp = mesh.shape.get("sp", 1)
         if n % sp != 0:

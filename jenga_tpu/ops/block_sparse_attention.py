@@ -744,7 +744,11 @@ def block_sparse_attention_grouped(
             # tools/joint_group_sweep.py)
             group = max(4, group // 2)
         if jnp.dtype(k.dtype).itemsize > 2:
-            group = max(4, group // (2 if q_rows == 1 else 4))
+            # floor 2 past q_rows=8: the (2048, gn) f32 logits dominate
+            # the budget there and a 4-wide group would leave the doubled
+            # scratch uncompensated
+            group = max(2 if q_rows > 8 else 4,
+                        group // (2 if q_rows == 1 else 4))
     b, h, s, d = q.shape
     skv = k.shape[2]
     block_m = DEFAULT_BLOCK

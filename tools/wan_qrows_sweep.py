@@ -2,9 +2,10 @@
 shapes, all at whole-model granularity (see wan_trunk_ablate.py for why
 per-op probes mislead here).
 
-For each stage shape and q_rows in {1, 4, 8} (the kernel's group cap is
-8): time the full carved forward and report realized density + the
-zero-overhead ideal at that density. Coarser groups gather less but
+For each stage shape and q_rows in {1, 4, 8} (8 = the production
+default; 16 exists for the joint mode but measured 0-4% at these
+shapes — tools/q16_sweep.py): time the full carved forward and report
+realized density + the zero-overhead ideal at that density. Coarser groups gather less but
 select more (union inflation); the sweet spot can differ between 18k and
 32k tokens.
 
@@ -58,9 +59,8 @@ for label, (lf, lh, lw), drop in STAGES:
     attn_fl = 4 * s_tokens * s_tokens * dm + 4 * s_tokens * lt * dm
     share = attn_fl / (attn_fl + lin_fl)
 
-    dense_carve = dataclasses.replace(
-        W.make_wan_carve(cfg, plan, sa_drop_rate=0.0, p_remain=0.15),
-        sa_drop_rate=0.0)
+    dense_carve = W.make_wan_carve(cfg, plan, sa_drop_rate=0.0,
+                                   p_remain=0.15)
 
     @jax.jit
     def fwd(params, carve, x2, top_k):
