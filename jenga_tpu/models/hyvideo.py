@@ -363,6 +363,16 @@ def _joint_attention(q, k, v, cfg: HYVideoConfig, carve: HYCarve | None,
             "speedup is lost. Use ring_degree=1 with an sp degree that "
             "divides the head count.", n, mesh.shape.get("sp", 1), ring_n)
         carved = False
+    if carve is not None and carve.sel_mask is not None and not carved:
+        # replay callers must fail loudly on EVERY non-carved path (dense
+        # fallback, ring degradation, tiny-shape short-circuit) — not just
+        # the Ulysses one below — or a recorded selection is silently
+        # dropped and the caller times/validates dense attention instead
+        raise NotImplementedError(
+            "HYCarve.sel_mask (selection replay) is set but this call "
+            "does not take the carved single-device path (dense fallback "
+            "or ring/mesh degradation) — the recorded selection would be "
+            "silently ignored")
     if not carved:
         if mesh is not None and ring_n > 1:
             # explicit ring x ulysses composition (dense, like the
@@ -424,7 +434,16 @@ def _joint_attention(q, k, v, cfg: HYVideoConfig, carve: HYCarve | None,
     qr = max(1, int(carve.q_rows))
     joint = qr > 1 and bool(getattr(carve, "joint_sel", False))
     if carve.sel_mask is not None:
+        # layout is q_rows/joint_sel-dependent (joint_sel pools rows per
+        # group): replay with the SAME q_rows/joint_sel the mask was
+        # recorded under. Shape-check so grid mismatches fail loudly.
         mask = carve.sel_mask
+        expect = (b, n, num_blocks, num_blocks)
+        if tuple(mask.shape) != expect:
+            raise ValueError(
+                f"HYCarve.sel_mask shape {tuple(mask.shape)} != {expect} "
+                "expected (B, H, nqb, nkb incl. text rows) — was it "
+                "recorded on a different grid?")
     else:
         mask = build_block_mask(
             qt[:, :, :tsb * 128], kt, top_k=top_k, p_remain=carve.p_remain,

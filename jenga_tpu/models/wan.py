@@ -309,6 +309,15 @@ def _self_attention(p, x, cfg: WanConfig, carve: WanCarve | None,
     k = L.apply_rope(k, rope_cos, rope_sin)
 
     if carve is None or carve.sa_drop_rate <= 0.25:
+        if carve is not None and carve.sel_mask is not None:
+            # a replay/ablation caller handing us a recorded selection
+            # expects the sparse kernel to run it; silently timing dense
+            # attention instead would corrupt the measurement
+            raise ValueError(
+                "WanCarve.sel_mask is set but sa_drop_rate "
+                f"{carve.sa_drop_rate} <= 0.25 takes the dense fallback "
+                "— the recorded selection would be silently ignored. "
+                "Raise sa_drop_rate or clear sel_mask.")
         out = attention_bshd(q, k, v)
     else:
         qt = q.transpose(0, 2, 1, 3)
@@ -322,7 +331,19 @@ def _self_attention(p, x, cfg: WanConfig, carve: WanCarve | None,
         qr = max(1, int(getattr(carve, "q_rows", 1)))
         joint = qr > 1 and bool(getattr(carve, "joint_sel", False))
         if carve.sel_mask is not None:
+            # the mask layout is q_rows/joint_sel-dependent (joint_sel
+            # pools rows per group): a mask recorded under a different
+            # q_group replays with a silently different effective pattern,
+            # so it must be recorded with the SAME q_rows/joint_sel it is
+            # replayed with. Shape-check here so a mismatched grid fails
+            # loudly instead of deep in the kernel.
             mask = carve.sel_mask
+            expect = (b, n, num_blocks, num_blocks)
+            if tuple(mask.shape) != expect:
+                raise ValueError(
+                    f"WanCarve.sel_mask shape {tuple(mask.shape)} != "
+                    f"{expect} expected for this stage (B, H, nqb, nkb) "
+                    "— was it recorded on a different grid?")
         else:
             mask = build_block_mask(
                 qt, kt,

@@ -235,12 +235,19 @@ def test_sel_mask_replay_matches_planner(setup):
     first-block mask — video rows from hy_first_selection_mask plus the
     all-true text rows — reproduces the planner path exactly on a
     1-double/0-single trunk (selection is per block, so equality needs
-    one attention layer)."""
+    one attention layer).
+
+    The grid must give >= 2 video blocks after padding or the joint
+    attention takes the tiny-shape dense short-circuit and never runs
+    the replay at all (the original (2,4,6) grid did exactly that; the
+    sel_mask guard in _joint_attention now raises on it)."""
     from jenga_tpu.models.hyvideo import hy_first_selection_mask
     cfg = dataclasses.replace(TINY, double_blocks=1, single_blocks=0)
-    params, x, t, txt, mask, txt2 = setup
+    params, _, t, txt, mask, txt2 = setup
     params = init_hyvideo_params(jax.random.PRNGKey(9), cfg)
-    plan = build_curve_plan((2, 4, 6), "gilbert", 128)
+    plan = build_curve_plan((4, 8, 8), "gilbert", 128)   # 256 img tokens
+    x = jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(9), 4),
+                          (1, cfg.in_channels, 4, 16, 16), jnp.float32)
     carve = make_hy_carve(cfg, plan, sa_drop_rate=0.5, p_remain=0.5,
                           text_amp=-1.0, txt_block_num=1)
     g = jnp.array([1000.0])
@@ -260,3 +267,22 @@ def test_sel_mask_replay_matches_planner(setup):
     a, b = np.asarray(run(carve)[0]), np.asarray(run(fixed)[0])
     assert np.abs(a).max() > 0
     np.testing.assert_array_equal(a, b)
+
+
+def test_sel_mask_guard_on_noncarved_path(setup):
+    """A set sel_mask on any non-carved path (here the tiny-shape dense
+    short-circuit) raises instead of silently running dense attention
+    (ADVICE r4 — the guard that exposed the original vacuous replay
+    test)."""
+    cfg = dataclasses.replace(TINY, double_blocks=1, single_blocks=0)
+    params, x, t, txt, mask, txt2 = setup
+    params = init_hyvideo_params(jax.random.PRNGKey(9), cfg)
+    plan = build_curve_plan((2, 4, 6), "gilbert", 128)   # 1 padded block
+    carve = make_hy_carve(cfg, plan, sa_drop_rate=0.5, p_remain=0.5,
+                          text_amp=-1.0, txt_block_num=1)
+    fixed = dataclasses.replace(
+        carve, sel_mask=jnp.ones((1, cfg.heads_num, 1, 1), bool))
+    with pytest.raises(NotImplementedError, match="sel_mask"):
+        img, txth, aux = hyvideo_embed(params, cfg, x, t, txt, mask, txt2,
+                                       fixed, jnp.array([1000.0]))
+        hyvideo_trunk(params, cfg, img, txth, aux, fixed)

@@ -171,3 +171,38 @@ def test_sel_mask_replay_matches_planner():
     a, b = np.asarray(run(carve)), np.asarray(run(fixed))
     assert np.abs(a).max() > 0
     np.testing.assert_array_equal(a, b)
+
+
+def test_sel_mask_guards_fail_loudly():
+    """The replay hook must never silently degrade: a sel_mask paired with
+    the dense fallback (drop <= 0.25) raises, and a mask recorded on a
+    different grid fails the shape check instead of an opaque kernel
+    error (ADVICE r4)."""
+    cfg = dataclasses.replace(TINY, num_layers=1)
+    key = jax.random.PRNGKey(7)
+    params = init_wan_params(key, cfg)
+    lat = (4, 16, 24)
+    x = jax.random.normal(jax.random.fold_in(key, 1),
+                          (1, cfg.in_dim, *lat), jnp.float32)
+    t = jnp.full((1,), 600.0, jnp.float32)
+    ctx = jax.random.normal(jax.random.fold_in(key, 2),
+                            (1, cfg.text_len, cfg.text_dim), jnp.float32)
+    plan = build_curve_plan((4, 8, 12), "sliced", 128)
+    carve = make_wan_carve(cfg, plan, sa_drop_rate=0.5, p_remain=0.9)
+    nb = -(-plan.seq_len // 128)
+    good = jnp.ones((1, cfg.num_heads, nb, nb), bool)
+
+    def run(cv):
+        h0, aux = wan_embed(params, cfg, x, t, ctx, cv)
+        return wan_trunk(params, cfg, h0, aux, cv)
+
+    # dense fallback with a recorded selection: loud failure, not dense
+    low = dataclasses.replace(carve, sa_drop_rate=0.2, sel_mask=good)
+    with pytest.raises(ValueError, match="dense fallback"):
+        run(low)
+
+    # wrong-grid mask: shape check fires before the kernel does
+    bad = dataclasses.replace(
+        carve, sel_mask=jnp.ones((1, cfg.num_heads, nb + 1, nb + 1), bool))
+    with pytest.raises(ValueError, match="sel_mask shape"):
+        run(bad)
