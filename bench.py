@@ -78,10 +78,12 @@ import jax
 # persistent compile cache: the 115k-token programs take minutes on the
 # remote compile service; cached executables make reruns (and the
 # driver's run) start in seconds.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+from jenga_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache(
+    os.environ.get("JENGA_COMPILE_CACHE")     # cold/warm profiling hook
+    or os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    ".jax_cache"))
 
 import jax.numpy as jnp
 

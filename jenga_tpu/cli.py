@@ -87,6 +87,13 @@ def _common(p: argparse.ArgumentParser):
                    help="tiny random model (CI smoke runs)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
+    p.add_argument("--compile-cache-dir", type=str, default=None,
+                   help="persistent XLA compile cache directory (default "
+                        "~/.cache/jenga_tpu/xla or $JENGA_COMPILE_CACHE; "
+                        "makes the second run skip the minutes-long stage "
+                        "compiles — see COMPILE.json / RUNBOOK.md)")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="disable the persistent compile cache")
     p.add_argument("--ulysses-degree", type=int, default=1,
                    help="sequence-parallel degree (mesh over the first N "
                         "devices; Ulysses attention + FSDP params)")
@@ -251,6 +258,13 @@ def _apply_backend(args):
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    # persistent XLA compile cache: every ProRes stage is its own (up to
+    # 115k-token) program, minutes cold / seconds warm — COMPILE.json has
+    # the measured per-program deltas. On by default; --no-compile-cache
+    # or JENGA_COMPILE_CACHE=off disables.
+    if not getattr(args, "no_compile_cache", False):
+        from .utils.compile_cache import enable_compile_cache
+        enable_compile_cache(getattr(args, "compile_cache_dir", None))
 
 
 def run_hyvideo_t2v(args):

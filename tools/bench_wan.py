@@ -366,6 +366,18 @@ def main():
         "attn_flop_share": round(attn_share, 4),
         "dense_tflops": round(dense_tflops, 1),
         "ceiling_vs_baseline": round(ceiling_vs_baseline, 3),
+        # raw measurement inputs: tools/ceiling_check.py re-derives the
+        # ceiling + headline from these and fails if the claims drift
+        "raw": {
+            "kind": "base", "ref_speedup": ref_speedup,
+            "depth_scale": depth_scale, "dim": cfg.dim,
+            "ffn_dim": cfg.ffn_dim, "text_len": cfg.text_len,
+            "s_tokens": s_tokens,
+            "t_carved75": t_c75, "t_carved85": t_c85,
+            "t_dense": t_dense, "t_skip": t_skip,
+            "warmup": warm, "n75_full": n75_full, "n85": n85,
+            "n_comp": n_comp, "steps": STEPS,
+        },
         "vs_baseline": round((dense_clip / carved_clip) / ref_speedup, 3),
     })
     print(line)
@@ -671,6 +683,15 @@ def turbo_main():
         "density_stage1": round(m1["density"], 4),
         "ceiling_vs_baseline": round(ceiling_vs_baseline, 3),
         "overhead_decomposition": decomp,
+        # raw stage measurements: tools/ceiling_check.py re-derives the
+        # ceiling + headline via compose_turbo and independent arithmetic
+        # and fails if the claims drift
+        "raw": {
+            "kind": "turbo", "ref_speedup": ref_speedup,
+            "depth_scale": depth_scale, "dim": cfg.dim,
+            "ffn_dim": cfg.ffn_dim, "text_len": cfg.text_len,
+            "m0": m0, "m1": m1, "steps": STEPS,
+        },
         "speedup": round(speedup, 2),
         "vs_baseline": round(speedup / ref_speedup, 3),
     })

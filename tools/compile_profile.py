@@ -1,0 +1,214 @@
+"""Cold vs warm compile-time measurement -> COMPILE.json.
+
+The reference's cold-start cost is a few seconds of Triton JIT per
+kernel config (`/root/reference/hyvideo/modules/
+attention_block_triton_diffres.py:13-14`, cached on disk by Triton);
+ours is XLA compiling one program per ProRes stage — the flagship HY
+stage is a 115k-token program that takes MINUTES cold on the remote
+compile service. The mitigation is JAX's persistent compilation cache
+(jenga_tpu/utils/compile_cache.py, wired into the samplers, the CLI and
+bench.py); this tool measures what it buys:
+
+  * per-program: wall seconds of ``.lower().compile()`` for each
+    production program, cold (fresh cache dir) then warm (second
+    subprocess, same dir) — the HY flagship carved/skip/dense programs
+    at bench depth and the Wan-1.3B full-model carved/dense programs at
+    both Turbo stage geometries;
+  * end-to-end: ``python bench.py`` wall seconds, cold vs warm on a
+    fresh cache dir — the driver-facing "second invocation skips
+    compilation" number.
+
+Each arm runs in its own subprocess (compile caches are process-global;
+cold must mean a fresh process AND a fresh directory). One shared TPU —
+never run concurrently with another bench.
+
+Writes COMPILE.json at the repo root and prints it.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def note(msg):
+    print(f"[compile_profile] {msg}", file=sys.stderr, flush=True)
+
+
+def child_main(which: str):
+    """Compile the named program set; print {program: seconds} JSON."""
+    import jax
+    import jax.numpy as jnp
+
+    from jenga_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()   # JENGA_COMPILE_CACHE set by the parent
+
+    import dataclasses
+
+    from bench import synth_latents, tie_qk_projections
+    from jenga_tpu.curves.blocks import build_curve_plan
+
+    out = {}
+
+    def timed(name, lowered):
+        t0 = time.perf_counter()
+        lowered.compile()
+        out[name] = round(time.perf_counter() - t0, 2)
+        note(f"  {name}: {out[name]}s")
+
+    if which == "hy":
+        # flagship 720p x 125f at bench depth (1 double + 2 single; the
+        # 13B full depth does not fit 16GB — same programs bench.py runs)
+        from jenga_tpu.models import hyvideo as hy
+        cfg = dataclasses.replace(hy.HUNYUAN_VIDEO_T2V,
+                                  double_blocks=1, single_blocks=2)
+        params = tie_qk_projections(
+            hy.init_hyvideo_params(jax.random.PRNGKey(0), cfg), cfg)
+        key = jax.random.PRNGKey(1)
+        txt = jax.random.normal(jax.random.fold_in(key, 1),
+                                (1, 256, cfg.text_states_dim), jnp.float32)
+        mask = jnp.ones((1, 256), jnp.int32)
+        txt2 = jax.random.normal(jax.random.fold_in(key, 2),
+                                 (1, cfg.text_states_dim_2), jnp.float32)
+        t = jnp.full((1,), 600.0, jnp.float32)
+        guidance = jnp.full((1,), 6000.0, jnp.float32)
+        grid = (32, 45, 80)
+        plan = build_curve_plan(grid, "gilbert", 128)
+        carve = hy.make_hy_carve(cfg, plan, sa_drop_rate=0.75,
+                                 p_remain=0.05, txt_block_num=2,
+                                 q_rows=8, joint_sel=True)
+        x = synth_latents(key, (1, cfg.in_channels, 32, 90, 160))
+
+        @jax.jit
+        def full_j(params, carve, x, top_k):
+            img, txth, aux = hy.hyvideo_embed(params, cfg, x, t, txt, mask,
+                                              txt2, carve, guidance)
+            img2 = hy.hyvideo_trunk(params, cfg, img, txth, aux, carve,
+                                    top_k=top_k)
+            return hy.hyvideo_head(params, cfg, img2, aux, carve)
+
+        s_pad = -(-plan.seq_len // 128) * 128
+
+        @jax.jit
+        def skip_j(params, carve, x, residual):
+            img, txth, aux = hy.hyvideo_embed(params, cfg, x, t, txt, mask,
+                                              txt2, carve, guidance)
+            return hy.hyvideo_head(params, cfg, img + residual, aux, carve)
+
+        res_spec = jax.ShapeDtypeStruct((1, s_pad, cfg.hidden_size),
+                                        jnp.bfloat16)
+        dcarve = dataclasses.replace(carve, sa_drop_rate=0.0)
+        timed("hy_carved_115k",
+              full_j.lower(params, carve, x, jnp.int32(225)))
+        timed("hy_skip_115k", skip_j.lower(params, carve, x, res_spec))
+        timed("hy_dense_115k",
+              full_j.lower(params, dcarve, x, jnp.int32(0)))
+    elif which == "wan":
+        # Wan2.1-1.3B FULL 30-layer model at both Turbo stage geometries
+        from jenga_tpu.models.wan import (WAN_T2V_1_3B, init_wan_params,
+                                          make_wan_carve, wan_forward)
+        from tools.bench_wan import _tie_qk
+        cfg = WAN_T2V_1_3B
+        params = _tie_qk(init_wan_params(jax.random.PRNGKey(0), cfg))
+        key = jax.random.PRNGKey(1)
+        t2 = jnp.full((2,), 600.0, jnp.float32)
+        ctx2 = jax.random.normal(jax.random.fold_in(key, 1),
+                                 (2, cfg.text_len, cfg.text_dim),
+                                 jnp.float32)
+        for label, (lf, lh, lw), drop in (
+                ("32k", (21, 60, 104), 0.85),    # stage 1 / Base
+                ("18k", (21, 44, 78), 0.75)):    # Turbo stage 0
+            grid = (lf, lh // 2, lw // 2)
+            plan = build_curve_plan(grid, "sliced", 128)
+            carve = make_wan_carve(cfg, plan, sa_drop_rate=drop,
+                                   p_remain=0.15, q_rows=8, joint_sel=True)
+            x2 = synth_latents(key, (2, cfg.in_dim, lf, lh, lw))
+
+            @jax.jit
+            def fwd(params, carve, x2, top_k):
+                return wan_forward(params, cfg, x2, t2, ctx2, carve=carve,
+                                   top_k=top_k)
+
+            timed(f"wan13_carved_{label}",
+                  fwd.lower(params, carve, x2, jnp.int32(1)))
+            if label == "32k":
+                dcarve = dataclasses.replace(carve, sa_drop_rate=0.0)
+                timed(f"wan13_dense_{label}",
+                      fwd.lower(params, dcarve, x2, jnp.int32(0)))
+    print(json.dumps(out), flush=True)
+
+
+def run_child(which, cache_dir):
+    env = dict(os.environ, COMPILE_PROFILE_CHILD=which,
+               JENGA_COMPILE_CACHE=cache_dir)
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                          env=env, stdout=subprocess.PIPE, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(f"child {which} rc={proc.returncode}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def run_bench(cache_dir):
+    env = dict(os.environ, JENGA_COMPILE_CACHE=cache_dir)
+    t0 = time.perf_counter()
+    proc = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
+                          env=env, stdout=subprocess.PIPE, text=True)
+    dt = time.perf_counter() - t0
+    if proc.returncode != 0:
+        raise RuntimeError(f"bench rc={proc.returncode}")
+    return round(dt, 1)
+
+
+def main():
+    which = os.environ.get("COMPILE_PROFILE_CHILD")
+    if which:
+        child_main(which)
+        return
+
+    programs = {}
+    with tempfile.TemporaryDirectory(prefix="jenga_cold_") as cache:
+        for which in ("hy", "wan"):
+            note(f"{which}: COLD (fresh cache {cache})")
+            cold = run_child(which, cache)
+            note(f"{which}: WARM (same cache)")
+            warm = run_child(which, cache)
+            for k in cold:
+                programs[k] = {"cold_s": cold[k], "warm_s": warm.get(k)}
+
+    bench = {}
+    if not int(os.environ.get("COMPILE_SKIP_BENCH", "0")):
+        with tempfile.TemporaryDirectory(prefix="jenga_coldb_") as cache:
+            note("bench.py COLD (fresh cache)")
+            bench["cold_s"] = run_bench(cache)
+            note("bench.py WARM (same cache)")
+            bench["warm_s"] = run_bench(cache)
+
+    rec = {
+        "metric": "cold vs warm XLA compile seconds per production "
+                  "program (fresh persistent-cache dir vs second process "
+                  "on the same dir; jenga_tpu/utils/compile_cache.py is "
+                  "wired into the samplers, CLI and bench.py). The "
+                  "reference property matched is near-zero kernel-JIT "
+                  "latency on relaunch (Triton's on-disk cache); here the "
+                  "whole 115k-token stage program is cached, not just "
+                  "the kernel",
+        "programs": programs,
+        "bench_py_end_to_end": bench,
+    }
+    line = json.dumps(rec)
+    print(line)
+    import jax
+    if jax.default_backend() != "cpu":
+        with open(os.path.join(ROOT, "COMPILE.json"), "w") as f:
+            f.write(line + "\n")
+        note("wrote COMPILE.json")
+
+
+if __name__ == "__main__":
+    main()
