@@ -177,3 +177,61 @@ class TestVBenchProtocol:
         assert seeds == [("a cat", 8), ("a cat", 9)]
         assert os.path.exists(os.path.join(out_dir, "a cat-1.npy"))
         assert os.path.exists(os.path.join(out_dir, "a cat-2.npy"))
+
+
+class TestVBenchCLIEndToEnd:
+    def test_vbench_path_produces_protocol_layout(self, tmp_path):
+        """The full --vbench CLI path (VERDICT r4 item 7): tiny random
+        model, 2 prompts x 2 samples, latents-only — asserts the exact
+        file layout `vbench evaluate` ingests ({prompt}-{i}.npy verbatim
+        prompt text, all samples present) and that a re-run resumes by
+        skipping every existing file. Anchor:
+        /root/reference/jenga_wan.py:950-972."""
+        import numpy as np
+
+        from jenga_tpu.cli import main
+
+        info = [
+            {"prompt_en": "a dog runs", "dimension": ["subject_consistency"]},
+            {"prompt_en": "city at night", "dimension": ["scene"]},
+        ]
+        pf = tmp_path / "full_info.json"
+        pf.write_text(json.dumps(info))
+        out_dir = tmp_path / "videos"
+        argv = ["wan-t2v", "--tiny", "--cpu", "--latents-only",
+                "--infer-steps", "2", "--video-size", "64", "64",
+                "--video-length", "9", "--vbench",
+                "--vbench-samples", "2",
+                "--prompt-file", str(pf), "--out-dir", str(out_dir)]
+        main(argv)
+
+        expect = {f"{p['prompt_en']}-{i}.npy"
+                  for p in info for i in range(2)}
+        got = set(os.listdir(out_dir))
+        assert got == expect
+        for name in expect:
+            arr = np.load(out_dir / name)
+            assert np.isfinite(arr).all() and arr.size > 0
+
+        # resume: second invocation must skip all existing files
+        # (overwrite mtimes would change if it regenerated)
+        mtimes = {n: os.path.getmtime(out_dir / n) for n in expect}
+        main(argv)
+        assert {n: os.path.getmtime(out_dir / n) for n in expect} == mtimes
+
+    def test_vbench_dimension_filter_via_cli(self, tmp_path):
+        from jenga_tpu.cli import main
+
+        info = [
+            {"prompt_en": "a dog runs", "dimension": ["subject_consistency"]},
+            {"prompt_en": "city at night", "dimension": ["scene"]},
+        ]
+        pf = tmp_path / "full_info.json"
+        pf.write_text(json.dumps(info))
+        out_dir = tmp_path / "videos"
+        main(["wan-t2v", "--tiny", "--cpu", "--latents-only",
+              "--infer-steps", "2", "--video-size", "64", "64",
+              "--video-length", "9", "--vbench", "--vbench-samples", "1",
+              "--vbench-dimension", "scene",
+              "--prompt-file", str(pf), "--out-dir", str(out_dir)])
+        assert set(os.listdir(out_dir)) == {"city at night-0.npy"}

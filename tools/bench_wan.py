@@ -76,6 +76,14 @@ QROWS = int(os.environ.get("BENCH_QROWS", "8"))
 TASK = os.environ.get("BENCH_TASK", "1.3b").lower()
 # BENCH_PRESET=turbo benches the Turbo columns (see module docstring)
 PRESET = os.environ.get("BENCH_PRESET", "base").lower()
+# Depth-linearity harness hooks (tools/depth_offceiling_wan14b.py):
+# BENCH_LAYERS overrides the measured trunk depth, BENCH_LAT the latent
+# (f,h,w) shape, BENCH_RAW_OUT dumps the raw per-arm seconds as JSON
+# (artifact writing is skipped under any of them — they change the
+# protocol, so the numbers must not overwrite the headline files).
+LAYERS_OVERRIDE = os.environ.get("BENCH_LAYERS")
+LAT_OVERRIDE = os.environ.get("BENCH_LAT")
+RAW_OUT = os.environ.get("BENCH_RAW_OUT")
 
 
 def warmup_drops(drop: float, steps: int = STEPS):
@@ -157,6 +165,10 @@ def main():
         lat_f, lat_h, lat_w = 21, 60, 104
     if QUICK:
         cfg = dataclasses.replace(cfg, num_layers=4)
+    if LAYERS_OVERRIDE:
+        cfg = dataclasses.replace(cfg, num_layers=int(LAYERS_OVERRIDE))
+    if LAT_OVERRIDE:
+        lat_f, lat_h, lat_w = (int(v) for v in LAT_OVERRIDE.split(","))
     # after the QUICK cut so smoke runs print extrapolated (comparable)
     # clip times too (ADVICE r3)
     depth_scale = full_layers / cfg.num_layers
@@ -245,6 +257,17 @@ def main():
     s_tokens = -(-plan.seq_len // 128) * 128
     residual = jnp.zeros((2, s_tokens, cfg.dim), jnp.float32)
     t_skip = _timeit(skip_path, params, x2, iters, residual)
+
+    if RAW_OUT:
+        # depth-linearity harness mode: dump the raw arm seconds and stop
+        # (the clip composition below assumes the headline protocol)
+        with open(RAW_OUT, "w") as f:
+            json.dump({"layers": cfg.num_layers, "t_c75": t_c75,
+                       "t_c85": t_c85, "t_dense": t_dense,
+                       "t_skip": t_skip, "s_tokens": s_tokens,
+                       "density": density, "density85": density85}, f)
+        print(json.dumps({"raw_out": RAW_OUT, "layers": cfg.num_layers}))
+        return
 
     # drop-rate warmup (ADVICE r3 medium): the reference's clip includes
     # 5 denser early steps — 0.25-or-below effective drops run DENSE,
@@ -384,7 +407,8 @@ def main():
     # durable artifact next to the primary bench's BENCH_r*.json: the
     # driver only records bench.py's stdout, so the secondary number is
     # committed to the repo for the judge (VERDICT round-1 item 5)
-    if jax.default_backend() != "cpu" and not QUICK:
+    if jax.default_backend() != "cpu" and not QUICK \
+            and not (LAYERS_OVERRIDE or LAT_OVERRIDE):
         fname = "BENCH_WAN14B.json" if TASK == "14b" else "BENCH_WAN.json"
         out = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), fname)
