@@ -258,6 +258,18 @@ def main():
 
     params = hy.init_hyvideo_params(jax.random.PRNGKey(0), cfg)
     params = tie_qk_projections(params, cfg)
+    if os.environ.get("BENCH_FP8"):
+        # fp8 (e4m3 + per-tensor scale) trunk weights: halves the param
+        # HBM footprint so a 6-layer 115k-token program sits OFF the
+        # 16GB ceiling — the depth-linearity-at-flagship-tokens arm
+        # (tools/depth_fp8_115k.py). Dequant-to-bf16 happens in each
+        # linear (models/fp8.py); numerics shift is irrelevant here
+        # (every timed quantity is value-independent).
+        from jenga_tpu.models.fp8 import quantize_tree_fp8
+        params = dict(params)
+        for blk_key in ("double_blocks", "single_blocks"):
+            if blk_key in params:
+                params[blk_key] = quantize_tree_fp8(params[blk_key])
     key = jax.random.PRNGKey(1)
     x = synth_latents(key, (1, cfg.in_channels) + lat)
     t = jnp.full((1,), 600.0, jnp.float32)
@@ -485,6 +497,12 @@ def main():
     # per-layer carved agreement at a reduced token shape where even the
     # deepest trunk sits far from the HBM ceiling
     offceiling = None
+    fp8_offceiling = None
+    try:
+        with open(os.path.join(here, "DEPTH_FP8_115K.json")) as f:
+            fp8_offceiling = json.load(f).get("agreement")
+    except (OSError, ValueError):
+        pass
     try:
         with open(os.path.join(here, "DEPTH_OFFCEILING.json")) as f:
             offceiling = json.load(f).get("agreement")
@@ -526,6 +544,12 @@ def main():
         # depth_note's scheduling attribution evidence rather than
         # inference
         "offceiling_agreement": offceiling,
+        # depth linearity AT the flagship 115k shape: 6-layer fp8 trunk
+        # (param HBM halved -> off the ceiling) per-layer rate vs the
+        # 3-layer fp8 control (DEPTH_FP8_115K.json via
+        # tools/depth_fp8_115k.py) — the measurement the bf16 ceiling
+        # forbids; closes the last inferential step in the extrapolation
+        "fp8_offceiling_agreement": fp8_offceiling,
         # attribution of the ~1.12 agreement ratio (tools/depth_validate
         # protocol, 3 alternated rounds): BENCH_BALLAST_GB=1.5 QUICK runs
         # time identically to plain QUICK, so the 6-layer inflation is NOT
