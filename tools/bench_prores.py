@@ -162,6 +162,24 @@ def child_main(rate, first_stage, drops, arm="main"):
     # residual buffer and its own temps RESOURCE_EXHAUSTs, while
     # carved-then-skip fits (the skip path is tiny).
     out["t_carved"] = {}
+    out["density"] = {}
+    out["t_fixed"] = {}
+    # realized selection density + planner-ablated (sel_mask replay)
+    # arm for the decomposition (VERDICT r4 weak-3: the small-stage
+    # regime needed the same carved/fixedlists/ideal split as the Wan
+    # artifacts). Reduced-res geometries only: at full res a third
+    # trunk executable does not fit next to carved+skip on 16GB.
+    decompose = rate != 1.0
+
+    @jax.jit
+    def _sel(params, carve, x, top_k):
+        m = hy.hy_first_selection_mask(params, cfg, x, t, txt, mask,
+                                       txt2, carve, guidance=guidance,
+                                       top_k=top_k)
+        b_, h_, tsb_, nb_ = m.shape
+        full = jnp.ones((b_, h_, nb_ - tsb_, nb_), bool)
+        return jnp.concatenate([m, full], axis=2)
+
     for drop in sorted(set(drops)):
         tk = int((1 - drop) * out["nqb"])
         if str(tk) in out["t_carved"]:
@@ -171,6 +189,22 @@ def child_main(rate, first_stage, drops, arm="main"):
                                                    jnp.int32(tk)),
             (params, x), 2)
         note(f"  drop={drop} top_k={tk} carved {out['t_carved'][str(tk)]:.2f}s")
+        if decompose:
+            mask0 = jax.block_until_ready(_sel(params, carve, x,
+                                               jnp.int32(tk)))
+            # video-row density (text rows are always-full by protocol)
+            tsb_ = out["nqb"]
+            out["density"][str(tk)] = float(
+                mask0[:, :, :tsb_].astype(jnp.float32).mean())
+            fixed = dataclasses.replace(carve, sel_mask=mask0)
+            fixed_c = full_j.lower(params, fixed, x,
+                                   jnp.int32(tk)).compile()
+            out["t_fixed"][str(tk)] = timeit(
+                lambda p, xx, tk=tk: fixed_c(p, fixed, xx, jnp.int32(tk)),
+                (params, x), 2)
+            del fixed_c, mask0
+            note(f"    density {out['density'][str(tk)]:.3f} fixedlists "
+                 f"{out['t_fixed'][str(tk)]:.2f}s")
     residual = jnp.zeros((1, s_pad, cfg.hidden_size), jnp.bfloat16)
     out["t_skip"] = timeit(
         lambda p, xx: progs["skip_c"](p, carve, xx, residual), (params, x), 2)
@@ -198,6 +232,17 @@ def compose_presets(geoms, depth_scale, q_rows, meas_layers):
     dense_clip = STEPS * step_dense
     note(f"dense {t_dense:.2f}s/slice -> {dense_clip:.0f}s/clip")
 
+    # attention FLOP share at the full-res joint sequence (HY per-layer
+    # FLOPs, 2-per-MAC convention: double AND single blocks are both
+    # 24*S*d^2 linear; attention 4*S^2*d) — the same conservative
+    # FLOP-share ideal model as tools/bench_wan.py (attention's TIME
+    # share exceeds its FLOP share on the MXU, so measured numbers can
+    # land above the "ideal")
+    d_model = 3072
+    txt_blocks = 2
+    s1_tok = (mfull["nqb"] + txt_blocks) * 128
+    a_share = 4 * s1_tok / (4 * s1_tok + 24 * d_model)
+
     results = []
     for name, (drops, rates, step_rates) in PRESETS.items():
         splits = [int(r * STEPS) for r in step_rates[:-1]]
@@ -207,6 +252,8 @@ def compose_presets(geoms, depth_scale, q_rows, meas_layers):
         bounds = splits + [STEPS]
         carved_clip = 0.0
         stage_desc = []
+        decomp = {}
+        densities = {}
         for si, (drop, rate) in enumerate(zip(drops, rates)):
             lo = 0 if si == 0 else bounds[si - 1] + 1
             hi = bounds[si]
@@ -216,12 +263,30 @@ def compose_presets(geoms, depth_scale, q_rows, meas_layers):
             geom = geoms[(rate, si == 0 and rate != 1.0)]
             tk = int((1 - drop) * geom["nqb"])
             t_c = geom["t_carved"][str(tk)]
-            step_c = geom["t_skip"] + (t_c - geom["t_skip"]) * depth_scale
+            ext = lambda t, g=geom: g["t_skip"] + (t - g["t_skip"]) \
+                * depth_scale
+            step_c = ext(t_c)
             n_c = int(compute[lo_clamp:hi_clamp].sum())
             n_s = (hi_clamp - lo_clamp) - n_c
             carved_clip += n_c * step_c + n_s * geom["t_skip"]
             stage_desc.append(
                 f"s{si}:r{rate}/d{drop} {n_c}c+{n_s}s @{step_c:.2f}s")
+            if str(tk) in geom.get("t_fixed", {}):
+                # carved/fixedlists/ideal split (reduced-res stages; the
+                # full-res decomposition regime is the flagship bench's)
+                p = geom["density"][str(tk)]
+                r_tok = (geom["nqb"] + txt_blocks) * 128 / s1_tok
+                ideal = step_dense * ((1 - a_share) * r_tok
+                                      + a_share * r_tok * r_tok * p)
+                fixed = ext(geom["t_fixed"][str(tk)])
+                densities[f"s{si}"] = round(p, 4)
+                decomp[f"s{si}"] = {
+                    "carved_s": round(step_c, 3),
+                    "fixedlists_s": round(fixed, 3),
+                    "ideal_s": round(ideal, 3),
+                    "planner_s": round(step_c - fixed, 3),
+                    "kernel_vs_ideal_s": round(fixed - ideal, 3),
+                }
         speedup = dense_clip / carved_clip
         results.append({
             "metric": "HunyuanVideo T2V 720px125f 50-step DiT s/clip, "
@@ -233,6 +298,8 @@ def compose_presets(geoms, depth_scale, q_rows, meas_layers):
             "value": round(carved_clip, 2),
             "unit": "s/clip",
             "preset": name,
+            "density": densities,
+            "overhead_decomposition": decomp,
             "speedup": round(speedup, 2),
             "vs_baseline": round(speedup / REF[name], 3),
         })

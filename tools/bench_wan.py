@@ -389,6 +389,10 @@ def main():
         "attn_flop_share": round(attn_share, 4),
         "dense_tflops": round(dense_tflops, 1),
         "ceiling_vs_baseline": round(ceiling_vs_baseline, 3),
+        "depth_evidence": (
+            "DEPTH_OFFCEILING_WAN14B.json (2/4/8-layer per-layer "
+            "agreement on this architecture at 832x480, off-ceiling)"
+            if TASK == "14b" else None),
         # raw measurement inputs: tools/ceiling_check.py re-derives the
         # ceiling + headline from these and fails if the claims drift
         "raw": {
@@ -706,6 +710,10 @@ def turbo_main():
         "density_stage0": round(m0["density"], 4),
         "density_stage1": round(m1["density"], 4),
         "ceiling_vs_baseline": round(ceiling_vs_baseline, 3),
+        "depth_evidence": (
+            "DEPTH_OFFCEILING_WAN14B.json (2/4/8-layer per-layer "
+            "agreement on this architecture at 832x480, off-ceiling)"
+            if TASK == "14b" else None),
         "overhead_decomposition": decomp,
         # raw stage measurements: tools/ceiling_check.py re-derives the
         # ceiling + headline via compose_turbo and independent arithmetic

@@ -31,6 +31,17 @@ The in-model planner is effectively free; the carved-vs-ideal gap is
 kernel gather/pack cost at realized density plus FLOP-share model
 conservatism — there is no recoverable per-step overhead left at these
 shapes, so the Turbo vs_baseline ceiling is binding as measured.
+
+Round-5 gather-group A/B (JENGA_GATHER_GROUP, v5e 2026-08-20): the
+kernel-harness sweep (tools/smallshape_sweep.py) suggested group=4
+beats the shipped group=8 by ~5% at the stage-0 shape; in-model it is
+NEUTRAL —
+  g4 (auto): s1 carved 1847.3 (kernel-vs-ideal +48.2 ms), s0 carved
+             1006.1 (+51.5 ms)
+  g8 forced: s1 carved 1848.7 (+49.1 ms), s0 carved 1010.0 (+52.1 ms)
+so the production pick stays shape-independent and the ~5%-of-step
+stage-0 kernel-vs-ideal term is a floor none of the swept (q_rows,
+group) space recovers (see utils/device.py gather_group_pick).
 """
 import dataclasses
 import os, sys, time
