@@ -164,11 +164,14 @@ def child_main(rate, first_stage, drops, arm="main"):
     out["t_carved"] = {}
     out["density"] = {}
     out["t_fixed"] = {}
-    # realized selection density + planner-ablated (sel_mask replay)
-    # arm for the decomposition (VERDICT r4 weak-3: the small-stage
-    # regime needed the same carved/fixedlists/ideal split as the Wan
-    # artifacts). Reduced-res geometries only: at full res a third
-    # trunk executable does not fit next to carved+skip on 16GB.
+    # realized selection density (every geometry/drop — feeds the
+    # per-preset ceiling_vs_baseline) + planner-ablated (sel_mask
+    # replay) arm for the decomposition (VERDICT r4 weak-3: the
+    # small-stage regime needed the same carved/fixedlists/ideal split
+    # as the Wan artifacts). The replay arm runs at reduced-res
+    # geometries only: at full res a third trunk executable does not
+    # fit next to carved+skip on 16GB; the density program (embed + one
+    # block's qk + planner) is small and safe everywhere.
     decompose = rate != 1.0
 
     @jax.jit
@@ -189,22 +192,23 @@ def child_main(rate, first_stage, drops, arm="main"):
                                                    jnp.int32(tk)),
             (params, x), 2)
         note(f"  drop={drop} top_k={tk} carved {out['t_carved'][str(tk)]:.2f}s")
+        mask0 = jax.block_until_ready(_sel(params, carve, x,
+                                           jnp.int32(tk)))
+        # video-row density (text rows are always-full by protocol)
+        tsb_ = out["nqb"]
+        out["density"][str(tk)] = float(
+            mask0[:, :, :tsb_].astype(jnp.float32).mean())
         if decompose:
-            mask0 = jax.block_until_ready(_sel(params, carve, x,
-                                               jnp.int32(tk)))
-            # video-row density (text rows are always-full by protocol)
-            tsb_ = out["nqb"]
-            out["density"][str(tk)] = float(
-                mask0[:, :, :tsb_].astype(jnp.float32).mean())
             fixed = dataclasses.replace(carve, sel_mask=mask0)
             fixed_c = full_j.lower(params, fixed, x,
                                    jnp.int32(tk)).compile()
             out["t_fixed"][str(tk)] = timeit(
                 lambda p, xx, tk=tk: fixed_c(p, fixed, xx, jnp.int32(tk)),
                 (params, x), 2)
-            del fixed_c, mask0
-            note(f"    density {out['density'][str(tk)]:.3f} fixedlists "
-                 f"{out['t_fixed'][str(tk)]:.2f}s")
+            del fixed_c
+            note(f"    fixedlists {out['t_fixed'][str(tk)]:.2f}s")
+        del mask0
+        note(f"    density {out['density'][str(tk)]:.3f}")
     residual = jnp.zeros((1, s_pad, cfg.hidden_size), jnp.bfloat16)
     out["t_skip"] = timeit(
         lambda p, xx: progs["skip_c"](p, carve, xx, residual), (params, x), 2)
@@ -251,6 +255,8 @@ def compose_presets(geoms, depth_scale, q_rows, meas_layers):
             stage_starts=[s + 1 for s in splits])
         bounds = splits + [STEPS]
         carved_clip = 0.0
+        ideal_clip = 0.0          # zero-overhead kernel at realized
+        have_density = True       # density: the preset's ceiling
         stage_desc = []
         decomp = {}
         densities = {}
@@ -271,23 +277,30 @@ def compose_presets(geoms, depth_scale, q_rows, meas_layers):
             carved_clip += n_c * step_c + n_s * geom["t_skip"]
             stage_desc.append(
                 f"s{si}:r{rate}/d{drop} {n_c}c+{n_s}s @{step_c:.2f}s")
+            if str(tk) in geom.get("density", {}):
+                p_sel = geom["density"][str(tk)]
+                r_tok = (geom["nqb"] + txt_blocks) * 128 / s1_tok
+                ideal_step = step_dense * ((1 - a_share) * r_tok
+                                           + a_share * r_tok * r_tok
+                                           * p_sel)
+                ideal_clip += n_c * ideal_step + n_s * geom["t_skip"]
+                densities[f"s{si}"] = round(p_sel, 4)
+            else:
+                have_density = False
             if str(tk) in geom.get("t_fixed", {}):
                 # carved/fixedlists/ideal split (reduced-res stages; the
                 # full-res decomposition regime is the flagship bench's)
-                p = geom["density"][str(tk)]
-                r_tok = (geom["nqb"] + txt_blocks) * 128 / s1_tok
-                ideal = step_dense * ((1 - a_share) * r_tok
-                                      + a_share * r_tok * r_tok * p)
                 fixed = ext(geom["t_fixed"][str(tk)])
-                densities[f"s{si}"] = round(p, 4)
                 decomp[f"s{si}"] = {
                     "carved_s": round(step_c, 3),
                     "fixedlists_s": round(fixed, 3),
-                    "ideal_s": round(ideal, 3),
+                    "ideal_s": round(ideal_step, 3),
                     "planner_s": round(step_c - fixed, 3),
-                    "kernel_vs_ideal_s": round(fixed - ideal, 3),
+                    "kernel_vs_ideal_s": round(fixed - ideal_step, 3),
                 }
         speedup = dense_clip / carved_clip
+        ceiling = (dense_clip / ideal_clip / REF[name]
+                   if have_density and ideal_clip > 0 else -1.0)
         results.append({
             "metric": "HunyuanVideo T2V 720px125f 50-step DiT s/clip, "
                       f"Jenga-{name} (ProRes stages {'; '.join(stage_desc)}"
@@ -299,6 +312,11 @@ def compose_presets(geoms, depth_scale, q_rows, meas_layers):
             "unit": "s/clip",
             "preset": name,
             "density": densities,
+            # zero-overhead-kernel clip at the realized densities under
+            # the same conservative FLOP-share model as the Wan
+            # artifacts (attention TIME share exceeds its FLOP share on
+            # the MXU, so measured can exceed "ceiling")
+            "ceiling_vs_baseline": round(ceiling, 3),
             "overhead_decomposition": decomp,
             "speedup": round(speedup, 2),
             "vs_baseline": round(speedup / REF[name], 3),
