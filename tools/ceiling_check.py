@@ -125,6 +125,8 @@ def check_record(rec: dict, label: str = "?", tol: float = 5e-3) -> list:
     got = recompute(rec)
     errs = []
     for fld in ("speedup", "vs_baseline", "ceiling_vs_baseline"):
+        if fld not in rec:      # base artifacts carry no speedup field
+            continue
         if abs(got[fld] - rec[fld]) > tol:
             errs.append(f"{label}: {fld} claimed {rec[fld]} but raw "
                         f"inputs give {got[fld]:.4f}")
