@@ -221,3 +221,47 @@ def test_compose_dense_comparator_is_full_res_only():
         # carved time identical; only the denominator moved
         assert d["value"] == h["value"]
         assert d["speedup"] > h["speedup"]
+
+
+def test_compose_ceiling_and_decomposition():
+    """Per-preset ceiling_vs_baseline (r5): densities at every geometry
+    give a zero-overhead-kernel ideal clip; a fixedlists entry yields
+    the carved/fixedlists/ideal decomposition reusing the same ideal
+    step. Ceiling must be >= the measured vs_baseline when the carved
+    arms carry overhead, and density=1 everywhere with carved == scaled
+    dense would collapse ceiling toward vs_baseline."""
+    geoms = synth_geoms()
+    for g in geoms.values():
+        g["density"] = {tk: 0.3 for tk in g["t_carved"]}
+        if g["rate"] != 1.0:
+            g["t_fixed"] = {tk: v * 0.98
+                            for tk, v in g["t_carved"].items()}
+    results = {r["preset"]: r for r in bench_prores.compose_presets(
+        geoms, depth_scale=20.0, q_rows=8, meas_layers=3)}
+    for name, r in results.items():
+        assert r["ceiling_vs_baseline"] > 0
+        assert r["density"], name
+        for st, dec in r["overhead_decomposition"].items():
+            assert dec["carved_s"] == pytest.approx(
+                dec["fixedlists_s"] + dec["planner_s"], abs=1e-6)
+            assert dec["fixedlists_s"] == pytest.approx(
+                dec["ideal_s"] + dec["kernel_vs_ideal_s"], abs=1e-6)
+
+    # ceiling is monotone: denser selections -> slower ideal -> lower
+    # ceiling (the sanity property that catches sign/ratio errors)
+    dense_geoms = synth_geoms()
+    for g in dense_geoms.values():
+        g["density"] = {tk: 0.9 for tk in g["t_carved"]}
+    denser = {r["preset"]: r for r in bench_prores.compose_presets(
+        dense_geoms, depth_scale=20.0, q_rows=8, meas_layers=3)}
+    for name in results:
+        assert denser[name]["ceiling_vs_baseline"] \
+            < results[name]["ceiling_vs_baseline"], name
+
+    # missing density at any geometry -> no ceiling claimed
+    geoms2 = synth_geoms()
+    for g in geoms2.values():
+        g["density"] = {}
+    res2 = bench_prores.compose_presets(geoms2, depth_scale=20.0,
+                                        q_rows=8, meas_layers=3)
+    assert all(r["ceiling_vs_baseline"] == -1.0 for r in res2)
