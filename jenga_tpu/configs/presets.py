@@ -7,10 +7,14 @@ first-class values consumed by the pipelines and the CLI.
 All presets carry ``q_group=8`` (joint 8-row group selection feeding the
 vectorized all-member shared-gather kernel) — the TPU production config
 every committed BENCH artifact measures, with its granularity cost
-pinned at zero added deviation in FIDELITY.json on BOTH architectures:
-Wan-1.3B Base (832x480x33f) and the HY ProRes Turbo trajectory across
-the stage switch with text_amp + fixed-skip (960x512x33f, q8-vs-per-row
-rel err 0.86%, below both arms' ~1.1% deviation from dense).
+pinned at zero added deviation in FIDELITY.json on EVERY production
+family that ships the pick: Wan-1.3B Base (832x480x33f), the
+Wan-14B architecture (5120x40h at 4/40 trunk, q8-vs-per-row 1.47%
+matching per-row's own 1.50% deviation from dense), the HY ProRes
+Turbo trajectory across the stage switch with text_amp + fixed-skip
+(960x512x33f, q8-vs-per-row rel err 0.86%, below both arms' ~1.1%
+deviation from dense), and HY-I2V token_replace with first-frame
+conditioning (q8 0.96% vs per-row 1.04% from dense).
 ``--q-group 1`` / ``--no-joint-sel`` restore the reference-exact
 per-128-row selection.
 """
