@@ -200,6 +200,17 @@ def main():
                   "the kernel",
         "programs": programs,
         "bench_py_end_to_end": bench,
+        "note": "cold_s = fresh LOCAL persistent-cache dir; this rig's "
+                "remote compile service may hold its own server-side "
+                "cache from earlier sessions, so a true first-ever "
+                "compile can exceed cold_s (repo history records "
+                "multi-minute first compiles of the 115k programs). "
+                "The per-program rows are the compile-skip evidence "
+                "(6-16x); bench_py_end_to_end wall time is dominated by "
+                "timed execution on a TIME-SHARED chip, so its cold/warm "
+                "delta only reads through when compilation dominates — "
+                "compare the programs rows, not the end-to-end row, for "
+                "the cache effect.",
     }
     line = json.dumps(rec)
     print(line)
