@@ -561,7 +561,11 @@ def main():
         # per-layer rate is the representative one; the FULL-rate headline
         # would still be >1.0x vs baseline (speedup scales by
         # dense/carved agreement ~ 1.04/1.12).
-        "depth_note": "FULL 6-layer program compiles 0.2GB from the HBM "
+        "depth_note": "Depth linearity is now measured AT this shape: "
+                      "the 6-layer fp8-weight trunk (off the ceiling) "
+                      "runs 0.98-1.00 of the 3-layer per-layer rate "
+                      "(fp8_offceiling_agreement, DEPTH_FP8_115K.json). "
+                      "FULL 6-layer bf16 program compiles 0.2GB from the HBM "
                       "ceiling with reduced overlap (ballast-refuted as "
                       "runtime occupancy); QUICK rate is representative. "
                       "Demonstrated directly off the ceiling: "
