@@ -102,7 +102,11 @@ def gather_group_pick(head_dim: int, q_rows: int, all_member: bool,
     not by omission, and the residual small-shape kernel-vs-ideal gap
     (~5% of the Wan stage-0 step) is a floor that no (q_rows, group)
     combination in the swept space recovers — see the decompositions in
-    BENCH_WAN_TURBO.json / BENCH_PRORES.json.
+    BENCH_WAN_TURBO.json / BENCH_PRORES.json. Gather locality is also
+    ruled out: a perfectly contiguous banded selection replays at the
+    same in-model speed as the planner's scattered one
+    (tools/scatter_probe.py, -0.2%), so run-coalescing DMA schemes have
+    no headroom either.
 
     ``JENGA_GATHER_GROUP`` overrides for A/B runs. Caution: jit caches
     traces on static args, so flip it only across processes (the bench
