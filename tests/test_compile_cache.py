@@ -43,3 +43,23 @@ def test_explicit_dir_beats_disabling_env(tmp_path, monkeypatch):
 def test_default_dir_under_cache_home(monkeypatch):
     monkeypatch.setenv("XDG_CACHE_HOME", "/tmp/xdg")
     assert default_cache_dir() == "/tmp/xdg/jenga_tpu/xla"
+
+
+def test_cli_backend_plumbs_cache_flags(tmp_path, monkeypatch):
+    """_apply_backend honors --compile-cache-dir and --no-compile-cache."""
+    import argparse
+
+    from jenga_tpu.cli import _apply_backend
+
+    monkeypatch.delenv("JENGA_COMPILE_CACHE", raising=False)
+    d = str(tmp_path / "cli_cache")
+    ns = argparse.Namespace(cpu=False, compile_cache_dir=d,
+                            no_compile_cache=False)
+    _apply_backend(ns)
+    assert jax.config.jax_compilation_cache_dir == d
+
+    before = jax.config.jax_compilation_cache_dir
+    ns2 = argparse.Namespace(cpu=False, compile_cache_dir=None,
+                             no_compile_cache=True)
+    _apply_backend(ns2)
+    assert jax.config.jax_compilation_cache_dir == before  # untouched

@@ -235,3 +235,19 @@ class TestVBenchCLIEndToEnd:
               "--vbench-dimension", "scene",
               "--prompt-file", str(pf), "--out-dir", str(out_dir)])
         assert set(os.listdir(out_dir)) == {"city at night-0.npy"}
+
+
+def test_artifact_summary_reads_committed_artifacts():
+    """tools/artifact_summary.py parses every committed BENCH artifact
+    into well-formed rows (vs_baseline present, preset labels attached
+    for multi-row files)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.artifact_summary import rows
+    rs = rows()
+    assert rs, "no artifacts found"
+    labels = {r["artifact"] for r in rs}
+    assert any(l.startswith("PRORES:") for l in labels)
+    for r in rs:
+        assert isinstance(r["vs_baseline"], (int, float))
