@@ -40,7 +40,21 @@ import os
 import sys
 
 os.environ.setdefault("XLA_FLAGS", "")
-_N = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+
+
+def _argv_n(default: int = 8) -> int:
+    # import-safe: under pytest sys.argv[1] is the test file path, not a
+    # device count (tests/test_dryrun_cases.py imports this module to run
+    # individual cases in-process)
+    if len(sys.argv) > 1:
+        try:
+            return int(sys.argv[1])
+        except ValueError:
+            return default
+    return default
+
+
+_N = _argv_n()
 if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
     os.environ["XLA_FLAGS"] += f" --xla_force_host_platform_device_count={_N}"
 os.environ["JAX_PLATFORMS"] = "cpu"
