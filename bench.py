@@ -78,12 +78,11 @@ import jax
 # persistent compile cache: the 115k-token programs take minutes on the
 # remote compile service; cached executables make reruns (and the
 # driver's run) start in seconds.
-from jenga_tpu.utils.compile_cache import enable_compile_cache
+from jenga_tpu.utils.compile_cache import enable_repo_cache
 
-enable_compile_cache(
-    os.environ.get("JENGA_COMPILE_CACHE")     # cold/warm profiling hook
-    or os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                    ".jax_cache"))
+# JENGA_COMPILE_CACHE (incl. its disable values) when set, else the
+# repo-local .jax_cache shared by every measurement tool
+enable_repo_cache(os.path.dirname(os.path.abspath(__file__)))
 
 import jax.numpy as jnp
 
@@ -455,7 +454,11 @@ def main():
         note(f"wrote {os.environ['BENCH_RAW_OUT']}: {raw}")
         return
     if (FULL or os.environ.get("BENCH_SCAN")) and not ballast_gb and \
+            not os.environ.get("BENCH_FP8") and \
             jax.default_backend() != "cpu":
+        # BENCH_FP8 excluded: fp8-timed arms must never overwrite the
+        # bf16 depth-evidence artifacts (they go to BENCH_RAW_OUT via
+        # tools/depth_fp8_115k.py instead)
         name = "BENCH_FULL.json" if FULL else "BENCH_SCAN.json"
         with open(os.path.join(here, name), "w") as f:
             json.dump(raw, f)

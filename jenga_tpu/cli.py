@@ -262,7 +262,11 @@ def _apply_backend(args):
     # 115k-token) program, minutes cold / seconds warm — COMPILE.json has
     # the measured per-program deltas. On by default; --no-compile-cache
     # or JENGA_COMPILE_CACHE=off disables.
-    if not getattr(args, "no_compile_cache", False):
+    if getattr(args, "no_compile_cache", False):
+        from .utils.compile_cache import disable_compile_cache
+        disable_compile_cache()   # pin the decision so the sampler's
+        #                           ensure_compile_cache() stays a no-op
+    else:
         from .utils.compile_cache import enable_compile_cache
         enable_compile_cache(getattr(args, "compile_cache_dir", None))
 

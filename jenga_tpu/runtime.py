@@ -88,9 +88,11 @@ class HunyuanVideoSampler:
                  offload_to_host: bool = False):
         # cold-start: every ProRes stage is its own XLA program (minutes
         # cold at 115k tokens); the persistent cache makes process #2
-        # start in seconds (COMPILE.json, RUNBOOK.md "Cold start")
-        from .utils.compile_cache import enable_compile_cache
-        enable_compile_cache()
+        # start in seconds (COMPILE.json, RUNBOOK.md "Cold start").
+        # ensure (not enable): the CLI's --compile-cache-dir /
+        # --no-compile-cache decision, if one was made, wins.
+        from .utils.compile_cache import ensure_compile_cache
+        ensure_compile_cache()
         self.cfg = cfg
         if mesh is not None:
             from .parallel.mesh import shard_params_fsdp
@@ -419,8 +421,8 @@ class WanSampler:
 
     def __init__(self, cfg, params, vae_params=None, model_id="wan-t2v-1.3b",
                  t5=None, clip_vision=None, mesh=None):
-        from .utils.compile_cache import enable_compile_cache
-        enable_compile_cache()   # see HunyuanVideoSampler.__init__
+        from .utils.compile_cache import ensure_compile_cache
+        ensure_compile_cache()   # see HunyuanVideoSampler.__init__
         self.cfg = cfg
         if mesh is not None:
             from .parallel.mesh import shard_params_fsdp

@@ -29,6 +29,13 @@ import os
 
 _DISABLED = ("0", "off", "none", "disabled")
 
+# process-wide: has any enable/disable decision been made? The CLI and
+# bench decide first; sampler constructors only provide the DEFAULT via
+# ensure_compile_cache(), never override an explicit decision (a
+# sampler re-pointing the cache after --compile-cache-dir /
+# --no-compile-cache would make both flags silent no-ops).
+_decided = False
+
 
 def default_cache_dir() -> str:
     base = os.environ.get("XDG_CACHE_HOME",
@@ -47,6 +54,8 @@ def enable_compile_cache(cache_dir: str | None = None,
     ``min_compile_secs`` skips caching sub-2s compiles (tiny test
     programs) so the cache holds only the programs worth persisting.
     """
+    global _decided
+    _decided = True
     env = os.environ.get("JENGA_COMPILE_CACHE")
     if cache_dir is None:
         if env is not None and env.strip().lower() in _DISABLED + ("",):
@@ -59,3 +68,31 @@ def enable_compile_cache(cache_dir: str | None = None,
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       float(min_compile_secs))
     return cache_dir
+
+
+def disable_compile_cache() -> None:
+    """Record an explicit DON'T-cache decision (CLI --no-compile-cache)
+    so later ensure_compile_cache() calls stay no-ops."""
+    global _decided
+    _decided = True
+
+
+def ensure_compile_cache() -> str | None:
+    """Enable the cache with default resolution UNLESS an explicit
+    enable/disable decision was already made this process — the hook for
+    library entry points (sampler constructors) that must not override
+    the CLI's flags."""
+    if _decided:
+        return None
+    return enable_compile_cache()
+
+
+def enable_repo_cache(repo_root: str) -> str | None:
+    """bench/tools policy: honor ``JENGA_COMPILE_CACHE`` (including its
+    disable values) when set; otherwise use ``<repo_root>/.jax_cache`` —
+    the repo-local cache every measurement tool shares so a bench chain
+    stays warm across tools. The one home of this policy (bench.py and
+    tools/ call this instead of hand-rolling jax.config updates)."""
+    if os.environ.get("JENGA_COMPILE_CACHE") is not None:
+        return enable_compile_cache()
+    return enable_compile_cache(os.path.join(repo_root, ".jax_cache"))

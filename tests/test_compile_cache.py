@@ -63,3 +63,49 @@ def test_cli_backend_plumbs_cache_flags(tmp_path, monkeypatch):
                              no_compile_cache=True)
     _apply_backend(ns2)
     assert jax.config.jax_compilation_cache_dir == before  # untouched
+
+
+def test_sampler_ensure_respects_cli_decision(tmp_path, monkeypatch):
+    """ensure_compile_cache (sampler hook) must not override an explicit
+    CLI decision — the review finding that made --no-compile-cache /
+    --compile-cache-dir silent no-ops."""
+    import jenga_tpu.utils.compile_cache as cc
+
+    monkeypatch.delenv("JENGA_COMPILE_CACHE", raising=False)
+    monkeypatch.setattr(cc, "_decided", False)
+
+    d = str(tmp_path / "cli_choice")
+    cc.enable_compile_cache(d)
+    cc.ensure_compile_cache()          # sampler constructor
+    assert jax.config.jax_compilation_cache_dir == d   # not re-pointed
+
+    # --no-compile-cache: disable pins the decision
+    monkeypatch.setattr(cc, "_decided", False)
+    before = jax.config.jax_compilation_cache_dir
+    cc.disable_compile_cache()
+    assert cc.ensure_compile_cache() is None
+    assert jax.config.jax_compilation_cache_dir == before
+
+    # no prior decision: ensure enables the default
+    monkeypatch.setattr(cc, "_decided", False)
+    monkeypatch.setenv("JENGA_COMPILE_CACHE", str(tmp_path / "dflt"))
+    assert cc.ensure_compile_cache() == str(tmp_path / "dflt")
+
+
+def test_enable_repo_cache_policy(tmp_path, monkeypatch):
+    """Tools policy: env (incl. disable values) wins; else <root>/.jax_cache.
+    The review finding: 'off' must DISABLE, not become a directory."""
+    import jenga_tpu.utils.compile_cache as cc
+
+    monkeypatch.delenv("JENGA_COMPILE_CACHE", raising=False)
+    root = str(tmp_path / "repo")
+    os.makedirs(root)
+    assert cc.enable_repo_cache(root) == os.path.join(root, ".jax_cache")
+
+    monkeypatch.setenv("JENGA_COMPILE_CACHE", "off")
+    assert cc.enable_repo_cache(root) is None
+    assert not os.path.exists("off")
+
+    d = str(tmp_path / "envdir")
+    monkeypatch.setenv("JENGA_COMPILE_CACHE", d)
+    assert cc.enable_repo_cache(root) == d

@@ -285,19 +285,28 @@ def compose_presets(geoms, depth_scale, q_rows, meas_layers):
                                            * p_sel)
                 ideal_clip += n_c * ideal_step + n_s * geom["t_skip"]
                 densities[f"s{si}"] = round(p_sel, 4)
+                if str(tk) in geom.get("t_fixed", {}):
+                    # carved/fixedlists/ideal split (reduced-res stages;
+                    # the full-res decomposition regime is the flagship
+                    # bench's). Nested under the density branch: the
+                    # split's ideal_s IS this stage's ideal_step, so a
+                    # t_fixed entry without its density must not reuse a
+                    # stale ideal from another stage.
+                    fixed = ext(geom["t_fixed"][str(tk)])
+                    decomp[f"s{si}"] = {
+                        "carved_s": round(step_c, 3),
+                        "fixedlists_s": round(fixed, 3),
+                        "ideal_s": round(ideal_step, 3),
+                        "planner_s": round(step_c - fixed, 3),
+                        "kernel_vs_ideal_s": round(fixed - ideal_step, 3),
+                    }
             else:
                 have_density = False
-            if str(tk) in geom.get("t_fixed", {}):
-                # carved/fixedlists/ideal split (reduced-res stages; the
-                # full-res decomposition regime is the flagship bench's)
-                fixed = ext(geom["t_fixed"][str(tk)])
-                decomp[f"s{si}"] = {
-                    "carved_s": round(step_c, 3),
-                    "fixedlists_s": round(fixed, 3),
-                    "ideal_s": round(ideal_step, 3),
-                    "planner_s": round(step_c - fixed, 3),
-                    "kernel_vs_ideal_s": round(fixed - ideal_step, 3),
-                }
+                if str(tk) in geom.get("t_fixed", {}):
+                    raise ValueError(
+                        f"stage s{si} (top_k {tk}) has a t_fixed entry "
+                        "but no matching density — the decomposition's "
+                        "ideal term would be undefined")
         speedup = dense_clip / carved_clip
         ceiling = (dense_clip / ideal_clip / REF[name]
                    if have_density and ideal_clip > 0 else -1.0)
