@@ -8,9 +8,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
+from jenga_tpu.utils.compile_cache import enable_repo_cache
+
+enable_repo_cache(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import jax.numpy as jnp
 
 from jenga_tpu.ops.block_sparse_attention import block_sparse_attention_grouped

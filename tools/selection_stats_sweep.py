@@ -14,8 +14,9 @@ import jax
 import jax.numpy as jnp
 
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+from jenga_tpu.utils.compile_cache import enable_repo_cache
+
+enable_repo_cache(repo)
 
 from jenga_tpu.curves.blocks import build_curve_plan
 from jenga_tpu.models import hyvideo as hy
